@@ -1,0 +1,20 @@
+"""Test harness configuration.
+
+Runs the suite on a CPU-simulated 8-device mesh so multi-chip sharding paths
+(shard_map population sharding, collective top-k) execute in CI without TPU
+hardware. Must set the XLA flags BEFORE jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,166 @@
+"""iCEM planner tests: mechanism unit tests + end-to-end control quality."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icem_tpu.controllers.icem import (
+    ICemConfig, MpcICem, init_state, plan_step, sample_action_sequences,
+)
+from icem_tpu.envs.classic import ContinuousPendulum, PointMass
+from icem_tpu.models.ground_truth import GroundTruthModel
+from icem_tpu.runtime.seeding import Seeding
+
+
+def make_cfg(**kw):
+    defaults = dict(horizon=10, num_simulated_trajectories=40,
+                    factor_decrease_num=1.25, opt_iterations=3,
+                    action_dim=2, action_low=(-1.0, -1.0), action_high=(1.0, 1.0))
+    defaults.update(kw)
+    return ICemConfig(**defaults)
+
+
+def test_population_decay_schedule():
+    # reference formula icem.py:126-127 with N=40, gamma=1.25, K=10:
+    # 40 -> max(20, 32) -> max(20, 25); total evals 97*h (icem.py:38-43)
+    cfg = make_cfg(horizon=30)
+    assert cfg.population_schedule == (40, 32, 25)
+    assert cfg.model_evals_per_timestep == 97 * 30
+    assert cfg.num_elites == 10
+    assert cfg.elites_kept == 3
+
+
+def test_num_elites_floor_and_cap():
+    cfg = make_cfg(num_simulated_trajectories=6, elites_size=10)
+    assert cfg.num_elites == 3  # min(10, 6//2)
+    cfg = make_cfg(num_simulated_trajectories=2, elites_size=10)
+    assert cfg.num_elites == 2  # floor of 2 (icem.py:237-240)
+
+
+def test_samples_respect_bounds():
+    cfg = make_cfg(noise_beta=2.5, init_std=3.0)  # huge std forces clipping
+    mean = jnp.zeros((cfg.horizon, cfg.action_dim))
+    std = 3.0 * jnp.ones((cfg.horizon, cfg.action_dim))
+    s = sample_action_sequences(cfg, jax.random.key(0), mean, std, 256)
+    assert s.shape == (256, cfg.horizon, cfg.action_dim)
+    assert float(jnp.max(s)) <= 1.0 and float(jnp.min(s)) >= -1.0
+    # clipping must actually bind with std=3
+    assert float(jnp.mean((jnp.abs(s) > 0.999))) > 0.1
+
+
+def test_white_noise_branch():
+    cfg = make_cfg(noise_beta=0.0)
+    mean = jnp.zeros((cfg.horizon, cfg.action_dim))
+    std = 0.3 * jnp.ones_like(mean)
+    s = sample_action_sequences(cfg, jax.random.key(1), mean, std, 4096)
+    assert abs(float(jnp.std(s)) - 0.3) < 0.02
+
+
+class _LinearEnv:
+    """1-d analytic dynamics x' = x + a with quadratic cost: the optimum of a
+    single CEM iteration is computable, used to check refit mechanics."""
+
+    def step(self, state, action):
+        ns = state + action[0]
+        return ns, ns[None], -(ns**2), jnp.float32(0.0)
+
+
+def test_plan_step_mechanics_and_elite_memory():
+    cfg = make_cfg(horizon=5, action_dim=1, action_low=(-1.0,), action_high=(1.0,),
+                   num_simulated_trajectories=30, elites_size=6, opt_iterations=2)
+    env = _LinearEnv()
+
+    def predict_fn(ms, obs, act):
+        ns, no, rew, _ = env.step(ms, act)
+        return ns, no, rew
+
+    def cost_fn(obs, act, next_obs):
+        return next_obs[..., 0] ** 2  # drive x to 0
+
+    ps = init_state(cfg, obs_dim=1, key=jax.random.key(0))
+    assert not bool(ps.have_elites)
+    x0 = jnp.asarray(3.0)
+
+    res = plan_step(cfg, predict_fn, cost_fn, ps, jnp.array([3.0]), x0)
+    assert bool(res.state.have_elites)
+    # elites sorted ascending by cost
+    ec = np.asarray(res.state.elite_costs)
+    assert np.all(np.diff(ec) >= 0)
+    assert np.all(np.isfinite(ec))
+    # from x0=3 with actions in [-1,1] the planner should push hard negative
+    assert float(res.action[0]) < -0.5
+    # std is reset to init after the step (icem.py:175)
+    np.testing.assert_allclose(np.asarray(res.state.std), 0.5, rtol=1e-6)
+
+    # second step should reuse elites without error and stay finite
+    res2 = plan_step(cfg, predict_fn, cost_fn, res.state, jnp.array([2.0]), jnp.asarray(2.0))
+    assert np.isfinite(float(res2.expected_cost))
+
+
+def test_jit_plan_step_compiles_once_and_runs():
+    cfg = make_cfg(horizon=8, action_dim=1, action_low=(-2.0,), action_high=(2.0,))
+    env = ContinuousPendulum()
+
+    def predict_fn(ms, obs, act):
+        ns, no, rew, _ = env.step(ms, act)
+        return ns, no, rew
+
+    planner = jax.jit(lambda ps, obs, ms: plan_step(cfg, predict_fn, env.cost_fn, ps, obs, ms))
+    ps = init_state(cfg, obs_dim=3, key=jax.random.key(0))
+    state = env.init_state(jax.random.key(1))
+    obs = env.observation(state)
+    res = planner(ps, obs, state)
+    assert res.action.shape == (1,)
+    assert np.isfinite(float(res.expected_cost))
+
+
+@pytest.mark.slow
+def test_icem_solves_pendulum_swingup():
+    Seeding.set_seed(7)
+    env = ContinuousPendulum()
+    model = GroundTruthModel(env=env)
+    ctrl = MpcICem(
+        env=env, forward_model=model, horizon=20, num_simulated_trajectories=40,
+        factor_decrease_num=1.25,
+        cost_along_trajectory="sum",
+        action_sampler_params=dict(alpha=0.1, elites_size=10, opt_iterations=3,
+                                   init_std=0.5, noise_beta=2.0,
+                                   use_mean_actions=True, keep_previous_elites=True,
+                                   shift_elites_over_time=True,
+                                   fraction_elites_reused=0.3),
+        seed=3,
+    )
+    key = jax.random.key(0)
+    # start hanging down for a real swing-up
+    state = jnp.array([np.pi, 0.0], jnp.float32)
+    obs = env.observation(state)
+    ctrl.beginning_of_rollout(observation=obs, state=state, mode="train")
+    step = jax.jit(env.step)
+    costs = []
+    for t in range(120):
+        a = ctrl.get_action(obs, state)
+        state, obs, reward, _ = step(state, jnp.asarray(a))
+        costs.append(-float(reward))
+    # must be upright and stabilized at the end
+    final_costs = np.mean(costs[-20:])
+    assert final_costs < 0.1, f"pendulum not stabilized, tail cost {final_costs}"
+
+
+@pytest.mark.slow
+def test_icem_point_mass_reaches_goal():
+    Seeding.set_seed(11)
+    env = PointMass(goal=(0.1, -0.2))
+    model = GroundTruthModel(env=env)
+    ctrl = MpcICem(env=env, forward_model=model, horizon=15,
+                   num_simulated_trajectories=32,
+                   action_sampler_params=dict(noise_beta=1.0), seed=5)
+    state = jnp.array([-0.3, 0.3, 0.0, 0.0], jnp.float32)
+    obs = env.observation(state)
+    ctrl.beginning_of_rollout(observation=obs, state=state)
+    step = jax.jit(env.step)
+    for t in range(60):
+        a = ctrl.get_action(obs, state)
+        state, obs, _, _ = step(state, jnp.asarray(a))
+    dist = float(np.linalg.norm(np.asarray(obs[:2]) - np.array([0.1, -0.2])))
+    assert dist < 0.05, f"point mass ended {dist} from goal"
