@@ -1,0 +1,105 @@
+"""Headline benchmark: iCEM trajectory-rollout throughput on HalfCheetah h=30.
+
+Measures full-planner throughput (colored-noise sampling + h=30 dynamics
+rollouts + cost + elite top-k + refit + real env step), everything fused on
+device as one scan — the configuration BASELINE.md names: ground-truth
+HalfCheetah, horizon 30, i-cem-blitz iteration structure (3 CEM iterations,
+population decay 1.25, keep+shift elites, beta=0.25), at a production
+population size.
+
+Prints ONE JSON line:
+  value        = trajectory rollouts (h=30 sims) per second on this host
+  vs_baseline  = value / 1e5  (the v5e-8 north-star target from BASELINE.md;
+                 >= 1.0 means the full-pod target is met on this hardware)
+"""
+
+import json
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from icem_tpu.controllers import icem as ic
+    from icem_tpu.envs.cheetah import HalfCheetah
+
+    # production-scale population: same decay structure as i-cem-blitz
+    # (N, gamma=1.25, 3 iters), scaled up to use the chip
+    POP = int(os.environ.get("BENCH_POP", 4096))
+    PLAN_STEPS = int(os.environ.get("BENCH_STEPS", 10))
+    HORIZON = 30
+
+    env = HalfCheetah(exclude_current_positions_from_observation=True,
+                      penalise_flipping=True)
+
+    def predict_fn(ms, obs, act):
+        ns, no, rew, _ = env.step(ms, act)
+        return ns, no, rew
+
+    cfg = ic.ICemConfig(
+        horizon=HORIZON, num_simulated_trajectories=POP,
+        factor_decrease_num=1.25, noise_beta=0.25,
+        elites_size=max(10, POP // 64),
+        action_dim=6, action_low=(-1.0,) * 6, action_high=(1.0,) * 6,
+    )
+    traj_per_plan_step = sum(cfg.population_schedule) + (
+        cfg.elites_kept if cfg.shift_elites_over_time else 0)
+
+    def episode(pstate, env_state, obs):
+        def body(carry, _):
+            es, ob, ps = carry
+            res = ic.plan_step(cfg, predict_fn, env.cost_fn, ps, ob, es)
+            es2, ob2, rew, _ = env.step(es, res.action)
+            return (es2, ob2, res.state), (rew, res.expected_cost)
+
+        (es, ob, ps), (rews, costs) = jax.lax.scan(
+            body, (env_state, obs, pstate), None, length=PLAN_STEPS)
+        return rews, costs, es
+
+    run = jax.jit(episode)
+    state = env.init_state(jax.random.key(0))
+    obs = env.observation(state)
+    pstate = ic.init_state(cfg, env.obs_dim, jax.random.key(1))
+
+    # compile (excluded from timing)
+    rews, costs, final_state = run(pstate, state, obs)
+    jax.block_until_ready(rews)
+    assert np.all(np.isfinite(np.asarray(costs))), "non-finite planning costs"
+
+    # timed runs
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        rews, costs, final_state = run(pstate, state, obs)
+    jax.block_until_ready(rews)
+    elapsed = (time.perf_counter() - t0) / n_rep
+
+    total_rollouts = traj_per_plan_step * PLAN_STEPS
+    rollouts_per_s = total_rollouts / elapsed
+    per_step_ms = elapsed / PLAN_STEPS * 1000.0
+
+    result = {
+        "metric": "icem_trajectory_rollouts_per_s_halfcheetah_h30",
+        "value": round(rollouts_per_s, 1),
+        "unit": "rollouts/s",
+        "vs_baseline": round(rollouts_per_s / 1.0e5, 3),
+        "detail": {
+            "population": POP,
+            "traj_per_plan_step": traj_per_plan_step,
+            "plan_step_ms": round(per_step_ms, 2),
+            "env_steps_per_s": round(rollouts_per_s * HORIZON, 0),
+            "devices": [str(d) for d in jax.devices()],
+            "mean_reward": float(np.mean(np.asarray(rews))),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

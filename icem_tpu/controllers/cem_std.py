@@ -1,0 +1,262 @@
+"""Vanilla CEM baseline (MpcCemStd) — the algorithm iCEM improves on.
+
+Re-implements the reference MpcCemStd (icem/controllers/mpc.py:142-327):
+
+- TRUNCATED-normal sampling (vs iCEM's clip-at-bounds): either exact
+  action-space truncation, or Levine-style bounds (std clamped to half the
+  distance to the bounds, truncation at +-2 sigma) (mpc.py:188-198, 290-301)
+- no colored noise, no population decay, no elite reuse
+- options: execute_best_elite (else execute the mean's first action),
+  shift_means (else zero-reset the mean each step), bounds_like_levine
+  (mpc.py:234-248, 303-312)
+- same top-k refit with alpha momentum as iCEM
+
+The truncated-normal draw is on-device via inverse-CDF over a uniform sample
+(erfinv), which is exact and fully vectorized — the reference calls
+scipy.stats.truncnorm.rvs on the host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icem_tpu.models.base import rollout_open_loop, trajectory_cost
+
+
+def truncated_normal(key, lower, upper, loc, scale, shape):
+    """Sample N(loc, scale^2) truncated to [loc + lower*scale, loc + upper*scale].
+
+    lower/upper are in standard-deviation units (scipy truncnorm convention,
+    matching mpc.py:196-198). Exact inverse-CDF sampling.
+    """
+    a = jax.scipy.stats.norm.cdf(lower)
+    b = jax.scipy.stats.norm.cdf(upper)
+    u = jax.random.uniform(key, shape, minval=1e-6, maxval=1.0 - 1e-6)
+    z = jax.scipy.stats.norm.ppf(a + u * (b - a))
+    # numeric safety at extreme truncation
+    z = jnp.clip(z, lower, upper)
+    return loc + z * scale
+
+
+@dataclass(frozen=True)
+class CemStdConfig:
+    horizon: int = 30
+    num_simulated_trajectories: int = 40
+    opt_iterations: int = 3
+    cost_along_trajectory: str = "sum"
+    use_env_reward_as_cost: bool = False
+    alpha: float = 0.1
+    elites_size: int = 10
+    init_std: float = 0.5
+    execute_best_elite: bool = True
+    shift_means: bool = True
+    bounds_like_levine: bool = False
+    action_dim: int = 1
+    action_low: tuple = (-1.0,)
+    action_high: tuple = (1.0,)
+
+    def __post_init__(self):
+        if self.num_simulated_trajectories < 2:
+            raise ValueError("At least two trajectories needed!")
+
+    @property
+    def num_elites(self) -> int:
+        return max(2, min(self.elites_size, self.num_simulated_trajectories // 2))
+
+    @property
+    def model_evals_per_timestep(self) -> int:
+        """mpc.py:167: N * opt_iter * horizon (no decay in vanilla CEM)."""
+        return self.num_simulated_trajectories * self.opt_iterations * self.horizon
+
+    @property
+    def low(self):
+        return jnp.asarray(self.action_low, jnp.float32)
+
+    @property
+    def high(self):
+        return jnp.asarray(self.action_high, jnp.float32)
+
+
+class CemStdState(NamedTuple):
+    mean: jnp.ndarray  # [h, d]
+    std: jnp.ndarray   # [h, d]
+    key: jax.Array
+
+
+class CemPlanResult(NamedTuple):
+    action: jnp.ndarray
+    state: "CemStdState"
+    expected_cost: jnp.ndarray
+    best_actions: jnp.ndarray
+    best_last_obs: jnp.ndarray
+
+
+def _init_mean(cfg: CemStdConfig):
+    return jnp.zeros((cfg.horizon, cfg.action_dim)) + (cfg.high + cfg.low) / 2.0
+
+
+def _init_std(cfg: CemStdConfig):
+    return jnp.ones((cfg.horizon, cfg.action_dim)) * (cfg.high - cfg.low) / 2.0 * cfg.init_std
+
+
+def _bounds(cfg: CemStdConfig, mean, std):
+    """Truncation bounds + (possibly clamped) std (mpc.py:290-301)."""
+    if cfg.bounds_like_levine:
+        lb_dist, ub_dist = mean - cfg.low, cfg.high - mean
+        std = jnp.maximum(1e-8, jnp.minimum(jnp.minimum(lb_dist / 2, ub_dist / 2), std))
+        return jnp.float32(-2.0), jnp.float32(2.0), std
+    lower = (cfg.low - mean) / (std + 1e-8)
+    upper = (cfg.high - mean) / (std + 1e-8)
+    return lower, upper, std
+
+
+def init_state(cfg: CemStdConfig, key) -> CemStdState:
+    return CemStdState(mean=_init_mean(cfg), std=_init_std(cfg), key=key)
+
+
+def plan_step(cfg: CemStdConfig, predict_fn, cost_fn, pstate: CemStdState, obs,
+              model_state) -> CemPlanResult:
+    """One env step of vanilla-CEM planning (mpc.py:200-263)."""
+    mean, std, key = pstate
+    N = cfg.num_simulated_trajectories
+
+    best_actions = jnp.zeros((cfg.horizon, cfg.action_dim))
+    best_cost = jnp.inf
+    best_last_obs = jnp.zeros_like(obs)
+
+    for _ in range(cfg.opt_iterations):
+        key, k = jax.random.split(key)
+        lower, upper, std = _bounds(cfg, mean, std)
+        actions = truncated_normal(k, lower, upper, mean, std,
+                                   (N, cfg.horizon, cfg.action_dim))
+
+        traj = rollout_open_loop(predict_fn, model_state, obs, actions)
+        costs = trajectory_cost(cost_fn, traj, cfg.cost_along_trajectory,
+                                cfg.use_env_reward_as_cost)
+        best_idx = jnp.argmin(costs)
+        best_actions = jnp.take(actions, best_idx, axis=0)
+        best_cost = costs[best_idx]
+        best_last_obs = jnp.take(traj.next_observations[-1], best_idx, axis=0)
+
+        elite_idx = jnp.argsort(costs, stable=True)[: cfg.num_elites]
+        elites = jnp.take(actions, elite_idx, axis=0)
+        mean = (1 - cfg.alpha) * jnp.mean(elites, axis=0) + cfg.alpha * mean
+        std = (1 - cfg.alpha) * jnp.std(elites, axis=0) + cfg.alpha * std
+
+    executed = best_actions[0] if cfg.execute_best_elite else mean[0]
+
+    if cfg.shift_means:
+        # compute_new_mean: zero for levine, preserve-last otherwise (mpc.py:265-269)
+        last = jnp.zeros_like(mean[-1:]) if cfg.bounds_like_levine else mean[-1:]
+        mean = jnp.concatenate([mean[1:], last], axis=0)
+    else:
+        mean = _init_mean(cfg) * 0.0  # zeros, matching mpc.py:245
+
+    std = _init_std(cfg)
+    return CemPlanResult(action=executed, state=CemStdState(mean, std, key),
+                         expected_cost=best_cost, best_actions=best_actions,
+                         best_last_obs=best_last_obs)
+
+
+class MpcCemStd:
+    """Host-side wrapper with the reference Controller API (mpc.py:142-327)."""
+
+    needs_training = False
+    needs_data = False
+    has_state = True
+
+    def __init__(self, *, env, forward_model, action_sampler_params=None,
+                 horizon=30, num_simulated_trajectories=40, factor_decrease_num=1,
+                 cost_along_trajectory="sum", use_env_reward_as_cost=False,
+                 verbose=False, do_visualize_plan=False, seed: Optional[int] = None,
+                 **kwargs):
+        asp = dict(action_sampler_params or {})
+        self.env = env
+        self.forward_model = forward_model
+        self.cfg = CemStdConfig(
+            horizon=horizon,
+            num_simulated_trajectories=num_simulated_trajectories,
+            cost_along_trajectory=cost_along_trajectory,
+            use_env_reward_as_cost=use_env_reward_as_cost,
+            action_dim=env.action_space.dim,
+            action_low=tuple(np.asarray(env.action_space.low).ravel().tolist()),
+            action_high=tuple(np.asarray(env.action_space.high).ravel().tolist()),
+            alpha=asp.get("alpha", 0.1),
+            elites_size=asp.get("elites_size", 10),
+            opt_iterations=asp.get("opt_iterations", 3),
+            init_std=asp.get("init_std", 0.5),
+            execute_best_elite=asp.get("execute_best_elite", True),
+            shift_means=asp.get("shift_means", True),
+            bounds_like_levine=asp.get("bounds_like_levine", False),
+        )
+        self.verbose = verbose
+        self._seed = seed
+        self._pstate = None
+        self._model_state = None
+        self.was_reset = False
+        self.last_expected_cost = None
+        self._plan = jax.jit(
+            partial(plan_step, self.cfg, forward_model.predict_fn, env.cost_fn))
+        self._advance = jax.jit(forward_model.predict_fn)
+
+    @property
+    def model_evals_per_timestep(self):
+        return self.cfg.model_evals_per_timestep
+
+    def beginning_of_rollout(self, *, observation, state=None, mode="train"):
+        from icem_tpu.runtime.seeding import Seeding
+
+        key = jax.random.key(self._seed) if self._seed is not None \
+            else Seeding.key_for(f"controller/{id(self)}")
+        self._pstate = init_state(self.cfg, key)
+        self._model_state = self.forward_model.got_actual_observation_and_env_state(
+            observation=observation, env_state=state, model_state=None)
+        self.was_reset = True
+
+    def end_of_rollout(self, total_time, total_return, mode):
+        pass
+
+    def get_action(self, obs, state=None, mode="train"):
+        if not self.was_reset:
+            raise AttributeError("beginning_of_rollout() needs to be called before")
+        obs = jnp.asarray(obs, jnp.float32)
+        self._model_state = self.forward_model.got_actual_observation_and_env_state(
+            observation=obs, env_state=state, model_state=self._model_state)
+        result = self._plan(self._pstate, obs, self._model_state)
+        self._pstate = result.state
+        self.last_expected_cost = result.expected_cost
+        if self._model_state is not None:
+            self._model_state, _, _ = self._advance(self._model_state, obs, result.action)
+        return np.asarray(result.action)
+
+    # -- functional interface for fused on-device episodes ------------------
+    def init_plan_state(self, obs_dim: int, key) -> CemStdState:
+        return init_state(self.cfg, key)
+
+    def functional_plan(self):
+        cfg = self.cfg
+        predict_fn = self.forward_model.predict_fn
+        cost_fn = self.env.cost_fn
+        init_model_state = self.forward_model.init_model_state
+
+        def plan(pstate, obs, env_state):
+            model_state = init_model_state(obs, env_state)
+            res = plan_step(cfg, predict_fn, cost_fn, pstate, obs, model_state)
+            return res.action, res.state
+
+        return plan
+
+    def train(self, buffer):
+        return {}
+
+    def save(self, path):
+        return None
+
+    def load(self, path):
+        return None

@@ -327,6 +327,9 @@ class MpcICem:
         self._plan = jax.jit(
             partial(plan_step, self.cfg, forward_model.predict_fn, env.cost_fn)
         )
+        # jitted one-step model advance for stateful models (icem.py:186-188);
+        # eager execution here would dispatch hundreds of tiny kernels per step
+        self._advance = jax.jit(forward_model.predict_fn)
 
     @property
     def model_evals_per_timestep(self):
@@ -360,9 +363,28 @@ class MpcICem:
         self.last_expected_cost = result.expected_cost
         # advance stateful models by the executed action (icem.py:186-188)
         if self._model_state is not None:
-            _, self._model_state, _ = self.forward_model.predict(
-                observations=obs, states=self._model_state, actions=result.action)
+            self._model_state, _, _ = self._advance(
+                self._model_state, obs, result.action)
         return np.asarray(result.action)
+
+    # -- functional interface for fused on-device episodes ------------------
+    def init_plan_state(self, obs_dim: int, key) -> ICemState:
+        return init_state(self.cfg, int(obs_dim), key)
+
+    def functional_plan(self):
+        """(pstate, obs, env_state) -> (action, pstate'), fully traceable —
+        lets the episode loop fuse planner + env into one scan."""
+        cfg = self.cfg
+        predict_fn = self.forward_model.predict_fn
+        cost_fn = self.env.cost_fn
+        init_model_state = self.forward_model.init_model_state
+
+        def plan(pstate, obs, env_state):
+            model_state = init_model_state(obs, env_state)
+            res = plan_step(cfg, predict_fn, cost_fn, pstate, obs, model_state)
+            return res.action, res.state
+
+        return plan
 
     def train(self, buffer):
         return {}

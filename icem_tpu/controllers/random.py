@@ -1,0 +1,169 @@
+"""Random controllers.
+
+- RndController: model-free random policy with an action-change frequency
+  (reference: icem/controllers/random.py:4-23)
+- MpcRandom: MPC with uniform random action sequences held constant for
+  ``action_change_frequency`` steps; simulates them through the forward model
+  and executes the argmin-cost rollout's first action
+  (reference: icem/controllers/mpc.py:86-138)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icem_tpu.models.base import rollout_open_loop, trajectory_cost
+
+
+def sample_held_action_sequences(key, low, high, num_traj: int, horizon: int,
+                                 change_every: int):
+    """[p, h, d] uniform sequences where the action changes every
+    ``change_every`` steps (mpc.py:95-108 semantics)."""
+    d = low.shape[-1]
+    n_blocks = -(-horizon // change_every)
+    blocks = jax.random.uniform(key, (num_traj, n_blocks, d), jnp.float32,
+                                minval=low, maxval=high)
+    held = jnp.repeat(blocks, change_every, axis=1)[:, :horizon]
+    return held
+
+
+class RndController:
+    """Model-free uniform-random policy (random.py:4-23)."""
+
+    needs_training = False
+    needs_data = False
+    has_state = False
+
+    def __init__(self, *, env, action_change_frequency: int = 1,
+                 seed: Optional[int] = None, **kwargs):
+        self.env = env
+        self.action_change_frequency = int(action_change_frequency)
+        from icem_tpu.runtime.seeding import Seeding
+        self._key = jax.random.key(seed) if seed is not None \
+            else Seeding.key_for(f"rnd/{id(self)}")
+        self._counter = 0
+        self._current = None
+
+    def get_action(self, obs, state=None, mode="train"):
+        if self._current is None or self._counter >= self.action_change_frequency:
+            self._key, k = jax.random.split(self._key)
+            self._current = np.asarray(self.env.action_space.sample(k))
+            self._counter = 0
+        self._counter += 1
+        return self._current
+
+    def beginning_of_rollout(self, *, observation, state=None, mode="train"):
+        self._counter = 0
+        self._current = None
+
+    def end_of_rollout(self, total_time, total_return, mode):
+        pass
+
+    def train(self, buffer):
+        return {}
+
+    def save(self, path):
+        return None
+
+    def load(self, path):
+        return None
+
+
+class MpcRandom:
+    """Random-shooting MPC (mpc.py:86-138)."""
+
+    needs_training = False
+    needs_data = False
+    has_state = True
+
+    def __init__(self, *, env, forward_model, horizon=30,
+                 num_simulated_trajectories=40, cost_along_trajectory="sum",
+                 use_env_reward_as_cost=False, action_sampler_params=None,
+                 factor_decrease_num=1, verbose=False, do_visualize_plan=False,
+                 seed: Optional[int] = None, **kwargs):
+        if num_simulated_trajectories < 2:
+            raise ValueError("At least two trajectories needed!")
+        asp = dict(action_sampler_params or {})
+        self.env = env
+        self.forward_model = forward_model
+        self.horizon = int(horizon)
+        self.num_sim_traj = int(num_simulated_trajectories)
+        self.cost_along_trajectory = cost_along_trajectory
+        self.use_env_reward_as_cost = bool(use_env_reward_as_cost)
+        self.action_change_frequency = int(asp.get("action_change_frequency", 1))
+        if self.action_change_frequency >= self.horizon:
+            raise ValueError("action_change_frequency must be < horizon")  # mpc.py:92
+        self._seed = seed
+        self._key = None
+        self._model_state = None
+
+        low = jnp.asarray(env.action_space.low, jnp.float32)
+        high = jnp.asarray(env.action_space.high, jnp.float32)
+
+        def _plan(key, obs, model_state):
+            key, k = jax.random.split(key)
+            actions = sample_held_action_sequences(
+                k, low, high, self.num_sim_traj, self.horizon,
+                self.action_change_frequency)
+            traj = rollout_open_loop(forward_model.predict_fn, model_state, obs, actions)
+            costs = trajectory_cost(env.cost_fn, traj, cost_along_trajectory,
+                                    self.use_env_reward_as_cost)
+            best = jnp.argmin(costs)
+            return actions[best, 0], costs[best], key
+
+        self._plan = jax.jit(_plan)
+        self._advance = jax.jit(forward_model.predict_fn)
+        self.last_expected_cost = None
+
+    @property
+    def model_evals_per_timestep(self):
+        return self.num_sim_traj * self.horizon
+
+    def beginning_of_rollout(self, *, observation, state=None, mode="train"):
+        from icem_tpu.runtime.seeding import Seeding
+        self._key = jax.random.key(self._seed) if self._seed is not None \
+            else Seeding.key_for(f"mpcrnd/{id(self)}")
+        self._model_state = self.forward_model.got_actual_observation_and_env_state(
+            observation=observation, env_state=state, model_state=None)
+
+    def end_of_rollout(self, total_time, total_return, mode):
+        pass
+
+    def get_action(self, obs, state=None, mode="train"):
+        obs = jnp.asarray(obs, jnp.float32)
+        self._model_state = self.forward_model.got_actual_observation_and_env_state(
+            observation=obs, env_state=state, model_state=self._model_state)
+        action, cost, self._key = self._plan(self._key, obs, self._model_state)
+        self.last_expected_cost = cost
+        if self._model_state is not None:
+            self._model_state, _, _ = self._advance(self._model_state, obs, action)
+        return np.asarray(action)
+
+    # -- functional interface for fused on-device episodes ------------------
+    def init_plan_state(self, obs_dim: int, key):
+        return key
+
+    def functional_plan(self):
+        plan_impl = self._plan
+        init_model_state = self.forward_model.init_model_state
+
+        def plan(key, obs, env_state):
+            model_state = init_model_state(obs, env_state)
+            action, _, key2 = plan_impl(key, obs, model_state)
+            return action, key2
+
+        return plan
+
+    def train(self, buffer):
+        return {}
+
+    def save(self, path):
+        return None
+
+    def load(self, path):
+        return None

@@ -1,0 +1,329 @@
+"""Planar articulated rigid-body dynamics, pure JAX.
+
+The reference delegates all locomotion physics to the external MuJoCo C
+engine through host bindings (icem/models/gt_model.py -> env.step); stepping
+p trajectories means p separate C calls split across worker processes
+(icem/models/gt_par_model.py). This module replaces that with a TPU-native
+engine: dynamics are a traceable function of (q, qd, ctrl) so a population of
+thousands of trajectories batches with one ``vmap`` and shards across a mesh
+with ``shard_map``.
+
+Formulation (Lagrangian, derived by autodiff — no hand-derived equations):
+
+- A model is a kinematic tree of B planar bodies. Body 0 is either a free
+  planar root (dofs x, z, rot — MuJoCo's rootx/rootz/rooty pattern) or a
+  hinge to the world; every other body hangs from its parent by one hinge.
+- Forward kinematics ``fk(q)`` gives body COM positions, absolute angles and
+  contact-point world positions (small unrolled loop over bodies).
+- Kinetic energy T(q, qd) is evaluated with a single ``jvp`` through fk
+  (point velocities without materializing Jacobians).
+- The mass matrix is M = d(dT/dqd)/dqd (jacfwd over grad), the
+  Coriolis/centrifugal bias is h = (dp/dq) qd - dT/dq with p = dT/dqd
+  (one jvp + one grad), gravity is the gradient of the potential.
+- Ground contact: penalty springs at geom points (normal spring-damper,
+  clamped-viscous Coulomb friction); generalized contact forces come from a
+  ``vjp`` of the contact-point map (virtual work), again Jacobian-free.
+- Integration: semi-implicit Euler, ``n_substeps`` per control step.
+
+Everything is f32 and shape-static; one compiled step serves any population.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class PlanarModel:
+    """Static description of a planar kinematic tree.
+
+    Body 0 is the root. If ``free_root`` the dof layout is
+    ``[x, z, rot, hinge_1 .. hinge_{B-1}]`` (dof of body b>0 is ``2 + b``),
+    else every body including the root has one hinge
+    (dof of body b is ``b``).
+    """
+
+    parent: Tuple[int, ...]          # per body; parent[0] == -1
+    anchor: np.ndarray               # [B,2] joint anchor in parent frame
+    com: np.ndarray                  # [B,2] COM offset in body frame
+    mass: np.ndarray                 # [B]
+    inertia: np.ndarray              # [B] about COM
+    free_root: bool = True
+    # contact geoms: spheres attached to bodies
+    geom_body: Tuple[int, ...] = ()
+    geom_pos: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.float32))
+    geom_radius: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+    # actuators: torque = gear * ctrl applied to a dof
+    actuator_dof: Tuple[int, ...] = ()
+    gear: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+    # per-dof passive dynamics
+    damping: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+    stiffness: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+    springref: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+    limit_lo: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+    limit_hi: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+    limit_stiffness: float = 400.0
+    limit_damping: float = 4.0
+    # world
+    gravity: float = 9.81
+    contact_kp: float = 2.0e4
+    contact_kd: float = 200.0
+    friction_mu: float = 1.0
+    friction_kt: float = 400.0
+    # integration
+    dt: float = 0.05                 # control timestep
+    n_substeps: int = 10
+
+    @property
+    def nbody(self) -> int:
+        return len(self.parent)
+
+    @property
+    def ndof(self) -> int:
+        return (3 + self.nbody - 1) if self.free_root else self.nbody
+
+    def dof_of_body(self, b: int) -> int:
+        """The hinge dof index of body b (b > 0 for free_root models)."""
+        return (2 + b) if self.free_root else b
+
+
+def _rot(theta):
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    return jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
+
+
+def fk(model: PlanarModel, q):
+    """Forward kinematics.
+
+    Returns (coms [B,2], angles [B], geom_points [G,2]).
+    """
+    B = model.nbody
+    anchors = jnp.asarray(model.anchor, jnp.float32)
+    coms_l = jnp.asarray(model.com, jnp.float32)
+
+    origins, angles = [], []
+    for b in range(B):
+        if b == 0:
+            if model.free_root:
+                ang = q[2]
+                orig = q[0:2] + anchors[0]
+            else:
+                ang = q[0]
+                orig = anchors[0]
+        else:
+            pa = model.parent[b]
+            pang, porig = angles[pa], origins[pa]
+            ang = pang + q[model.dof_of_body(b)]
+            orig = porig + _rot(pang) @ anchors[b]
+        origins.append(orig)
+        angles.append(ang)
+
+    origins = jnp.stack(origins)          # [B,2]
+    angles = jnp.stack(angles)            # [B]
+    rots = jax.vmap(_rot)(angles)         # [B,2,2]
+    coms = origins + jnp.einsum("bij,bj->bi", rots, coms_l)
+
+    if len(model.geom_body) > 0:
+        gb = np.asarray(model.geom_body)
+        gpos = jnp.asarray(model.geom_pos, jnp.float32)
+        geom_pts = origins[gb] + jnp.einsum("gij,gj->gi", rots[gb], gpos)
+    else:
+        geom_pts = jnp.zeros((0, 2))
+    return coms, angles, geom_pts
+
+
+def kinetic_energy(model: PlanarModel, q, qd):
+    """T(q, qd) via one jvp through fk (no Jacobian materialization)."""
+    mass = jnp.asarray(model.mass, jnp.float32)
+    inertia = jnp.asarray(model.inertia, jnp.float32)
+
+    def pos_fn(q_):
+        coms, angles, _ = fk(model, q_)
+        return coms, angles
+
+    (_, _), (vcom, vang) = jax.jvp(pos_fn, (q,), (qd,))
+    return 0.5 * jnp.sum(mass * jnp.sum(vcom**2, axis=-1)) + 0.5 * jnp.sum(inertia * vang**2)
+
+
+def potential_energy(model: PlanarModel, q):
+    mass = jnp.asarray(model.mass, jnp.float32)
+    coms, _, _ = fk(model, q)
+    return model.gravity * jnp.sum(mass * coms[:, 1])
+
+
+def mass_matrix(model: PlanarModel, q):
+    """M(q) = d^2 T / dqd^2 (constant in qd)."""
+    zero = jnp.zeros(model.ndof)
+    p_fn = jax.grad(lambda v: kinetic_energy(model, q, v))
+    return jax.jacfwd(p_fn)(zero)
+
+
+def bias_forces(model: PlanarModel, q, qd):
+    """Coriolis/centrifugal h(q, qd) = (dp/dq) qd - dT/dq, plus gravity dV/dq."""
+    p_fn = lambda q_: jax.grad(lambda v: kinetic_energy(model, q_, v))(qd)
+    mdot_qd = jax.jvp(p_fn, (q,), (qd,))[1]
+    dT_dq = jax.grad(lambda q_: kinetic_energy(model, q_, qd))(q)
+    dV_dq = jax.grad(lambda q_: potential_energy(model, q_))(q)
+    return mdot_qd - dT_dq + dV_dq
+
+
+def contact_forces(model: PlanarModel, q, qd):
+    """Generalized ground-contact forces via virtual work (vjp of geom map)."""
+    if len(model.geom_body) == 0:
+        return jnp.zeros(model.ndof)
+    radius = jnp.asarray(model.geom_radius, jnp.float32)
+
+    geom_fn = lambda q_: fk(model, q_)[2]
+    pts, vel = jax.jvp(geom_fn, (q,), (qd,))
+    phi = pts[:, 1] - radius                       # signed distance to ground
+    in_contact = phi < 0.0
+    fn = jnp.maximum(0.0, -model.contact_kp * phi - model.contact_kd * vel[:, 1])
+    fn = jnp.where(in_contact, fn, 0.0)
+    ft = -jnp.clip(model.friction_kt * vel[:, 0],
+                   -model.friction_mu * fn, model.friction_mu * fn)
+    force = jnp.stack([ft, fn], axis=-1)           # [G,2]
+
+    _, vjp_fn = jax.vjp(geom_fn, q)
+    return vjp_fn(force)[0]
+
+
+def spring_forces(model: PlanarModel, q):
+    """Position-dependent passive torques: joint springs + limit penalties.
+
+    Velocity-dependent damping is handled IMPLICITLY in the integrator
+    (see ``substep``) for unconditional stability with stiff joints.
+    """
+    stiffness = jnp.asarray(model.stiffness, jnp.float32)
+    springref = jnp.asarray(model.springref, jnp.float32)
+    lo = jnp.asarray(model.limit_lo, jnp.float32)
+    hi = jnp.asarray(model.limit_hi, jnp.float32)
+
+    tau = -stiffness * (q - springref)
+    over = jnp.maximum(q - hi, 0.0)
+    under = jnp.maximum(lo - q, 0.0)
+    tau += -model.limit_stiffness * over + model.limit_stiffness * under
+    return tau
+
+
+def damping_diagonal(model: PlanarModel, q):
+    """Per-dof viscous coefficients treated implicitly: joint damping plus
+    extra limit damping while a limit is violated."""
+    damping = jnp.asarray(model.damping, jnp.float32)
+    lo = jnp.asarray(model.limit_lo, jnp.float32)
+    hi = jnp.asarray(model.limit_hi, jnp.float32)
+    in_violation = (q > hi) | (q < lo)
+    return damping + jnp.where(in_violation, model.limit_damping, 0.0)
+
+
+def actuation(model: PlanarModel, ctrl):
+    """Map [A] controls to [ndof] torques (torque = gear * ctrl)."""
+    tau = jnp.zeros(model.ndof)
+    if len(model.actuator_dof) == 0:
+        return tau
+    dofs = np.asarray(model.actuator_dof)
+    gear = jnp.asarray(model.gear, jnp.float32)
+    return tau.at[dofs].add(gear * ctrl)
+
+
+def substep(model: PlanarModel, q, qd, tau_ctrl, dt_sub: float):
+    """One semi-implicit Euler substep with implicit joint damping.
+
+    Solving (M + dt*D) qd' = M qd + dt * rhs makes arbitrarily large joint
+    damping unconditionally stable (MuJoCo treats damping implicitly for the
+    same reason); contact normal/friction damping stays explicit but is
+    tuned against the substep size.
+    """
+    rhs = (tau_ctrl + spring_forces(model, q) + contact_forces(model, q, qd)
+           - bias_forces(model, q, qd))
+    M = mass_matrix(model, q) + 1e-6 * jnp.eye(model.ndof)
+    D = damping_diagonal(model, q)
+    lhs = M + dt_sub * jnp.diag(D)
+    qd_new = jnp.linalg.solve(lhs, M @ qd + dt_sub * rhs)
+    qd_new = jnp.clip(qd_new, -100.0, 100.0)  # safety net against blow-ups
+    q_new = q + dt_sub * qd_new
+    return q_new, qd_new
+
+
+def cholesky_unrolled(A, n: int):
+    """Cholesky factor of a small SPD matrix, fully unrolled.
+
+    For static n (~9 dofs) this lowers to a chain of batched elementwise ops
+    — no LAPACK-style loops/pivoting, which is what makes the inner dynamics
+    solve fast on TPU under vmap. Returns the lower factor as nested lists of
+    (batched) scalars.
+    """
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-9))
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def cholesky_solve_unrolled(L, b, n: int):
+    """Solve L L^T x = b with the unrolled factor from cholesky_unrolled."""
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+def step(model: PlanarModel, q, qd, ctrl):
+    """One control step = n_substeps physics substeps (scan).
+
+    TPU hot path: the mass matrix, its implicit-damping Cholesky factor and
+    the Coriolis/gravity bias are computed ONCE per control step and held
+    over the substeps (MuJoCo recomputes at its own coarser dt; these terms
+    are smooth at the control timescale). Per substep only the stiff terms —
+    contact and spring/limit forces — are re-evaluated, so a substep is a
+    short chain of fused elementwise ops.
+    """
+    n = model.ndof
+    tau_ctrl = actuation(model, ctrl)
+    dt_sub = model.dt / model.n_substeps
+
+    M = mass_matrix(model, q) + 1e-6 * jnp.eye(n)
+    D = damping_diagonal(model, q)
+    lhs = M + dt_sub * jnp.diag(D)
+    L = cholesky_unrolled(lhs, n)
+    bias = bias_forces(model, q, qd)
+
+    def body(carry, _):
+        q_, qd_ = carry
+        rhs = (tau_ctrl + spring_forces(model, q_)
+               + contact_forces(model, q_, qd_) - bias)
+        qd_new = cholesky_solve_unrolled(L, M @ qd_ + dt_sub * rhs, n)
+        qd_new = jnp.clip(qd_new, -100.0, 100.0)
+        q_new = q_ + dt_sub * qd_new
+        return (q_new, qd_new), None
+
+    (q_new, qd_new), _ = jax.lax.scan(body, (q, qd), None, length=model.n_substeps)
+    return q_new, qd_new
+
+
+# ---------------------------------------------------------------------------
+# Model construction helpers
+# ---------------------------------------------------------------------------
+
+def chain_link_inertia(mass: float, length: float) -> float:
+    """Thin-rod moment of inertia about the COM."""
+    return mass * length**2 / 12.0

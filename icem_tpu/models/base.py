@@ -57,10 +57,11 @@ def rollout_open_loop(predict_fn: PredictFn, model_state, obs, actions) -> Traje
     actions: [p, h, act_dim] action sequences.
     """
     p, h = actions.shape[0], actions.shape[1]
+    # batching follows obs: an unbatched [obs_dim] start means the model
+    # state is unbatched too (never infer from state leaf shapes — a state of
+    # dimension == p would be misread as already batched)
     if obs.ndim == 1:
         obs = jnp.broadcast_to(obs, (p,) + obs.shape)
-    leaves = jax.tree_util.tree_leaves(model_state)
-    if leaves and jnp.shape(leaves[0])[:1] != (p,):
         model_state = broadcast_model_state(model_state, p)
 
     step = jax.vmap(predict_fn)

@@ -1,0 +1,170 @@
+"""Multi-chip iCEM: population sharded over a device mesh.
+
+The reference's only scale-out mechanism is a pool of worker processes fed
+population chunks over pipes (icem/models/gt_par_model.py:66-94; SURVEY.md
+§2.6 P1). The TPU-native equivalent: ``shard_map`` over a
+``jax.sharding.Mesh`` with a single "pop" axis —
+
+- every device samples ITS OWN population shard (PRNG key folded with the
+  mesh axis index, so shards are independent streams and the result is
+  independent of the device count's layout),
+- rollouts and per-trajectory costs are entirely local (zero communication
+  during simulation — the embarrassingly parallel hot loop),
+- elite selection is a LOCAL top-k followed by one ``all_gather`` of the
+  (cost, action-sequence, final-obs) candidate tuples — K*(h*d+obs+1) floats
+  per device per CEM iteration, the only collective in the program — then a
+  replicated global top-k. The global argmin is necessarily inside some
+  device's local top-k, so execute-best semantics are exact.
+- elite memory / distribution refit stay replicated (tiny state).
+
+Fresh-sample counts are rounded UP to a multiple of the mesh size, so the
+sharded planner samples at least as many trajectories as the reference
+schedule (never fewer).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from icem_tpu.controllers.icem import ICemConfig, ICemState, init_std
+from icem_tpu.controllers.icem import sample_action_sequences
+from icem_tpu.models.base import rollout_open_loop, trajectory_cost
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def make_pop_mesh(devices=None, axis_name: str = "pop") -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
+                      pstate: ICemState, obs, model_state, axis_name: str = "pop"):
+    """One iCEM planning step with the population sharded over ``mesh``.
+
+    Same algorithm as controllers.icem.plan_step (see its docstring for the
+    reference mapping); differs only in how the population is laid out.
+    Returns (action, new_state, expected_cost).
+    """
+    n_dev = mesh.devices.size
+    K = cfg.num_elites
+    E = cfg.elites_kept
+    last_iter = cfg.opt_iterations - 1
+
+    mean, std = pstate.mean, pstate.std
+    key = pstate.key
+    have_elites = pstate.have_elites
+    elite_actions, elite_costs = pstate.elite_actions, pstate.elite_costs
+    elite_last_obs = pstate.elite_last_obs
+
+    obs_dim = obs.shape[-1]
+
+    def local_find(key_it, mean_, std_, obs_, model_state_, n_local, use_mean_row):
+        """Runs on each device: sample local shard, simulate, local top-k,
+        all_gather candidates. Executed under shard_map with replicated ins."""
+        idx = jax.lax.axis_index(axis_name)
+        k = jax.random.fold_in(key_it, idx)
+        # replicated inputs must be explicitly marked varying before entering
+        # the scan carry (shard_map varying-axis typing)
+        to_varying = lambda x: jax.lax.pcast(x, (axis_name,), to="varying")
+        obs_ = to_varying(obs_)
+        mean_, std_ = to_varying(mean_), to_varying(std_)
+        model_state_ = jax.tree_util.tree_map(to_varying, model_state_)
+        fresh = sample_action_sequences(cfg, k, mean_, std_, n_local)
+        if use_mean_row:
+            # add-mean candidate on device 0 only (icem.py:84-89)
+            row0 = jnp.where(idx == 0, mean_, fresh[0])
+            fresh = fresh.at[0].set(row0)
+        traj = rollout_open_loop(predict_fn, model_state_, obs_, fresh)
+        costs = trajectory_cost(cost_fn, traj, cfg.cost_along_trajectory,
+                                cfg.use_env_reward_as_cost)
+        k_local = min(K, n_local)
+        order = jnp.argsort(costs, stable=True)[:k_local]
+        cand_a = jnp.take(fresh, order, axis=0)
+        cand_c = jnp.take(costs, order, axis=0)
+        cand_o = jnp.take(traj.next_observations[-1], order, axis=0)
+        return cand_a, cand_c, cand_o
+
+    def sharded_find(n_local, use_mean_row):
+        # local top-k comes out SHARDED over pop ([n_dev * k_local, ...]
+        # logically); XLA inserts the single all-gather where the replicated
+        # global top-k below consumes it
+        fn = partial(local_find, n_local=n_local, use_mean_row=use_mean_row)
+        # check_vma=False: varying-axis inference mis-types some autodiff
+        # graphs (e.g. jacfwd basis constants) inside the physics engine;
+        # outputs are genuinely pop-sharded so the check adds nothing here
+        return shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P("pop"), P("pop"), P("pop")),
+            check_vma=False,
+        )
+
+    best_action_seq = jnp.zeros((cfg.horizon, cfg.action_dim))
+    best_cost = jnp.inf
+    best_last_obs = jnp.zeros((obs_dim,))
+
+    for i, n_i in enumerate(cfg.population_schedule):
+        key, k_it, k_shift = jax.random.split(key, 3)
+        n_local = _cdiv(n_i, n_dev)
+        use_mean_row = cfg.use_mean_actions and i == last_iter
+
+        g_a, g_c, g_o = sharded_find(n_local, use_mean_row)(
+            k_it, mean, std, obs, model_state)
+
+        cand_a, cand_c, cand_o = [g_a], [g_c], [g_o]
+        cand_valid = [jnp.ones(g_c.shape[0], bool)]
+
+        if i == 0 and cfg.shift_elites_over_time and E > 0:
+            # shifted elites are re-simulated replicated (E rows are tiny)
+            last_step = sample_action_sequences(cfg, k_shift, mean, std, E)[:, -1:, :]
+            shifted = jnp.concatenate([elite_actions[:E, 1:, :], last_step], axis=1)
+            straj = rollout_open_loop(predict_fn, model_state, obs, shifted)
+            scosts = trajectory_cost(cost_fn, straj, cfg.cost_along_trajectory,
+                                     cfg.use_env_reward_as_cost)
+            cand_a.append(shifted)
+            cand_c.append(scosts)
+            cand_o.append(straj.next_observations[-1])
+            cand_valid.append(jnp.broadcast_to(have_elites, (E,)))
+
+        if i > 0 and cfg.keep_previous_elites and E > 0:
+            cand_a.append(elite_actions[:E])
+            cand_c.append(elite_costs[:E])
+            cand_o.append(elite_last_obs[:E])
+            cand_valid.append(jnp.ones(E, bool))
+
+        cand_a = jnp.concatenate(cand_a, axis=0)
+        cand_c = jnp.concatenate(cand_c, axis=0)
+        cand_o = jnp.concatenate(cand_o, axis=0)
+        cand_valid = jnp.concatenate(cand_valid, axis=0)
+        cand_c = jnp.where(cand_valid, cand_c, jnp.inf)
+
+        best_idx = jnp.argmin(cand_c)
+        best_action_seq = jnp.take(cand_a, best_idx, axis=0)
+        best_cost = cand_c[best_idx]
+        best_last_obs = jnp.take(cand_o, best_idx, axis=0)
+
+        order = jnp.argsort(cand_c, stable=True)[:K]
+        elite_actions = jnp.take(cand_a, order, axis=0)
+        elite_costs = jnp.take(cand_c, order, axis=0)
+        elite_last_obs = jnp.take(cand_o, order, axis=0)
+        mean = (1 - cfg.alpha) * jnp.mean(elite_actions, axis=0) + cfg.alpha * mean
+        std = (1 - cfg.alpha) * jnp.std(elite_actions, axis=0) + cfg.alpha * std
+        have_elites = jnp.asarray(True)
+
+    executed = best_action_seq[0]
+    mean = jnp.concatenate([mean[1:], mean[-1:]], axis=0)
+    std = init_std(cfg)
+
+    new_state = ICemState(mean=mean, std=std, elite_actions=elite_actions,
+                          elite_costs=elite_costs, elite_last_obs=elite_last_obs,
+                          have_elites=have_elites, key=key)
+    return executed, new_state, best_cost

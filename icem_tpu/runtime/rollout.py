@@ -1,0 +1,200 @@
+"""Episode execution runtime.
+
+Replaces the reference RolloutManager (icem/misc/rollout_utils.py:38-345)
+with two execution paths:
+
+1. ``sample`` / ``_sample`` — the canonical host-driven episode loop
+   (rollout_utils.py:154-227): works with ANY controller via
+   ``get_action(obs, state, mode)``, supports start-state injection,
+   ``use_env_states``, ``only_final_reward`` masking, per-step success
+   collection and render hooks. Each controller step is itself one compiled
+   XLA program, so the host only sequences steps.
+
+2. ``sample_on_device`` — the TPU-first path: the ENTIRE episode (planner +
+   real env) runs as one ``lax.scan`` on device with zero host round-trips,
+   and multiple episodes batch with ``vmap`` — this subsumes the reference's
+   process-parallel ``par_sample`` (rollout_utils.py:129-152, worker pool at
+   :312-345) with a single SPMD program. Requires a functional controller
+   (one exposing ``functional_plan``/``init_plan_state``, i.e. the MPC
+   planners).
+
+Termination semantics: the reference breaks the loop at ``done``; under scan
+we freeze the state and mask rewards after termination, and report the valid
+episode length.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icem_tpu.runtime.buffer import Rollout, RolloutBuffer
+from icem_tpu.runtime.seeding import Seeding
+
+
+class RolloutManager:
+    """reference: misc/rollout_utils.py:38-114 (constructor + sample dispatch)."""
+
+    def __init__(self, env, rollout_params):
+        p = dict(rollout_params)
+        self.env = env
+        self.task_horizon = int(p.get("task_horizon", 200))
+        self.use_env_states = bool(p.get("use_env_states", False))
+        self.only_final_reward = bool(p.get("only_final_reward", False))
+        self.render = bool(p.get("render", False))
+        self.record = bool(p.get("record", False))
+        self.num_parallel = int(p.get("num_parallel", 0))
+        self.fuse_on_device = bool(p.get("fuse_on_device", True))
+        self._episode_counter = 0
+
+    # ------------------------------------------------------------------ #
+    def sample(self, policy, render: bool = False, mode: str = "train",
+               name: str = "", no_rollouts: int = 1, desc: str = "rollout"):
+        """Collect ``no_rollouts`` episodes (rollout_utils.py:89-114)."""
+        can_fuse = (self.fuse_on_device and not render and not self.record
+                    and hasattr(policy, "functional_plan"))
+        if can_fuse:
+            return self.sample_on_device(policy, mode=mode, no_rollouts=no_rollouts)
+        return [self._sample(policy, render=render, mode=mode)
+                for _ in range(no_rollouts)]
+
+    # ------------------------------------------------------------------ #
+    def _episode_key(self, mode):
+        self._episode_counter += 1
+        return Seeding.key_for(f"rollout/{mode}/{self._episode_counter}")
+
+    def _sample(self, policy, render: bool = False, mode: str = "train",
+                start_state=None) -> Rollout:
+        """Host-driven canonical env loop (rollout_utils.py:154-227)."""
+        env = self.env
+        key = self._episode_key(mode)
+        if start_state is not None:
+            state = start_state
+            obs = env.observation(state)
+        else:
+            state, obs = env.reset_with_mode(key, mode)
+
+        if hasattr(policy, "beginning_of_rollout"):
+            policy.beginning_of_rollout(
+                observation=obs, state=state if self.use_env_states else None, mode=mode)
+
+        step = getattr(env, "_jit_step", None)
+        if step is None:
+            step = jax.jit(env.step)
+            env._jit_step = step
+
+        transitions = []
+        successes = []
+        start_time = time.time()
+        for t in range(self.task_horizon):
+            if render and hasattr(env, "render_frame"):
+                env.render_frame(state)
+            env_state = state if self.use_env_states else None
+            action = policy.get_action(np.asarray(obs), env_state, mode=mode)
+            next_state, next_obs, reward, done = step(state, jnp.asarray(action))
+            succ = env.is_success(obs, action, next_obs)
+            if succ is not None:
+                successes.append(float(succ))
+            transitions.append((np.asarray(obs), np.asarray(next_obs),
+                                np.asarray(action), float(reward), float(done)))
+            state, obs = next_state, next_obs
+            if float(done):
+                break
+
+        obs_a, nxt_a, act_a, rew_a, done_a = map(np.array, zip(*transitions))
+        if self.only_final_reward:
+            rew_a[:-1] = 0.0
+        data = dict(observations=obs_a, next_observations=nxt_a, actions=act_a,
+                    rewards=rew_a, dones=done_a)
+        if successes:
+            data["successes"] = np.array(successes, np.float32)
+
+        if hasattr(policy, "end_of_rollout"):
+            policy.end_of_rollout(time.time() - start_time, float(rew_a.sum()), mode)
+        return Rollout(data=data)
+
+    # ------------------------------------------------------------------ #
+    def sample_on_device(self, policy, mode: str = "train", no_rollouts: int = 1):
+        """Fused episodes: planner + env in one scan, episodes vmapped.
+
+        The TPU replacement for par_sample's process pool — E independent
+        episodes are one SPMD program over a batch axis.
+        """
+        env = self.env
+        plan = policy.functional_plan()
+        keys = jax.random.split(self._episode_key(mode), no_rollouts)
+        horizon = self.task_horizon
+        only_final = self.only_final_reward
+        has_success = env.is_success(
+            jnp.zeros(env.obs_dim), jnp.zeros(env.action_dim), jnp.zeros(env.obs_dim)
+        ) is not None
+
+        def one_episode(key):
+            k_env, k_plan = jax.random.split(key)
+            state, obs = env.reset_with_mode(k_env, mode)
+            pstate = policy.init_plan_state(env.obs_dim, k_plan)
+
+            def body(carry, _):
+                env_state, ob, ps, done_before = carry
+                action, ps2 = plan(ps, ob, env_state)
+                env_state2, ob2, rew, done = env.step(env_state, action)
+                # freeze after termination (mask instead of break)
+                keep = 1.0 - done_before
+                env_state2 = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(done_before > 0, old, new),
+                    env_state2, env_state)
+                ob2 = jnp.where(done_before > 0, ob, ob2)
+                rew = rew * keep
+                succ = env.is_success(ob, action, ob2) if has_success else jnp.float32(0)
+                done_after = jnp.maximum(done_before, done)
+                out = (ob, ob2, action, rew, done_after, keep, succ)
+                return (env_state2, ob2, ps2, done_after), out
+
+            carry0 = (state, obs, pstate, jnp.float32(0.0))
+            _, (obs_seq, nxt_seq, act_seq, rew_seq, done_seq, valid_seq, succ_seq) = \
+                jax.lax.scan(body, carry0, None, length=horizon)
+            if only_final:
+                last = jnp.sum(valid_seq).astype(jnp.int32) - 1
+                final_only = jnp.zeros_like(rew_seq).at[last].set(rew_seq[last])
+                rew_seq = final_only
+            return obs_seq, nxt_seq, act_seq, rew_seq, done_seq, valid_seq, succ_seq
+
+        episodes = jax.jit(jax.vmap(one_episode))(keys)
+        obs_seq, nxt_seq, act_seq, rew_seq, done_seq, valid_seq, succ_seq = \
+            [np.asarray(x) for x in episodes]
+
+        rollouts = []
+        for i in range(no_rollouts):
+            t = int(valid_seq[i].sum())
+            data = dict(observations=obs_seq[i, :t], next_observations=nxt_seq[i, :t],
+                        actions=act_seq[i, :t], rewards=rew_seq[i, :t],
+                        dones=done_seq[i, :t])
+            if has_success:
+                data["successes"] = succ_seq[i, :t]
+            rollouts.append(Rollout(data=data))
+        return rollouts
+
+
+def compute_reward_info(rollouts: RolloutBuffer, prefix: str = "",
+                        exec_time: Optional[float] = None) -> dict:
+    """Per-iteration reward metrics (reference: misc/helpers.py:212-230)."""
+    info = {
+        prefix + "mean_avg_reward": rollouts.mean_avg_reward,
+        prefix + "mean_max_reward": rollouts.mean_max_reward,
+        prefix + "mean_return": rollouts.mean_return,
+        prefix + "std_return": rollouts.std_return,
+    }
+    if exec_time is not None:
+        info[prefix + "exec_time"] = exec_time
+    try:
+        succ = rollouts.as_array("successes")[:, -1]
+        info[prefix + "mean_success"] = float(np.mean(succ))
+        info[prefix + "std_success"] = float(np.std(succ))
+    except (KeyError, TypeError):
+        pass
+    return info

@@ -17,4 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# the TPU plugin in this image overrides JAX_PLATFORMS at import time; the
+# config update below wins as long as no backend has been initialized yet
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
