@@ -105,8 +105,10 @@ def make_cheetah_model(dt: float = 0.05, n_substeps: int = 10) -> PlanarModel:
         limit_damping=8.0,
         contact_kp=1.0e4,
         contact_kd=50.0,
+        contact_fmax=1200.0,   # ~9x body weight: hard gallop, no slam exploits
         friction_mu=0.8,
         friction_kt=200.0,
+        max_qd=50.0,
         dt=dt,
         n_substeps=n_substeps,
     )

@@ -79,8 +79,10 @@ def make_hopper_model(dt: float = 0.05, n_substeps: int = 20) -> PlanarModel:
         limit_damping=8.0,
         contact_kp=1.2e4,
         contact_kd=50.0,
+        contact_fmax=1500.0,   # ~11x body weight: real hops, no slam exploits
         friction_mu=1.0,
         friction_kt=200.0,
+        max_qd=50.0,
         dt=dt,
         n_substeps=n_substeps,
     )

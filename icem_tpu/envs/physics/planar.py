@@ -69,12 +69,25 @@ class PlanarModel:
     limit_hi: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
     limit_stiffness: float = 400.0
     limit_damping: float = 4.0
+    # anisotropic viscous fluid drag per body (swimming; zero = disabled):
+    # force at the COM decomposed along the body frame, torque on the angle
+    drag_normal: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+    drag_tangent: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
+    drag_angular: np.ndarray = field(default_factory=lambda: np.zeros((0,), np.float32))
     # world
     gravity: float = 9.81
     contact_kp: float = 2.0e4
     contact_kd: float = 200.0
+    contact_fmax: float = np.inf  # cap on normal force: keeps penalty
+    # contacts from storing unbounded elastic energy on hard slams (planners
+    # otherwise exploit the rebound to launch bodies)
     friction_mu: float = 1.0
     friction_kt: float = 400.0
+    max_qd: float = 100.0         # hard velocity rail (numerical safety)
+    # DC-motor speed-torque line: available torque falls linearly to zero at
+    # |qd| = motor_omega_max in the torque direction (power-limits actuators;
+    # inf disables). Physical analog of MuJoCo's gainprm/force limits.
+    motor_omega_max: float = np.inf
     # integration
     dt: float = 0.05                 # control timestep
     n_substeps: int = 10
@@ -183,6 +196,7 @@ def contact_forces(model: PlanarModel, q, qd):
     phi = pts[:, 1] - radius                       # signed distance to ground
     in_contact = phi < 0.0
     fn = jnp.maximum(0.0, -model.contact_kp * phi - model.contact_kd * vel[:, 1])
+    fn = jnp.minimum(fn, model.contact_fmax)
     fn = jnp.where(in_contact, fn, 0.0)
     ft = -jnp.clip(model.friction_kt * vel[:, 0],
                    -model.friction_mu * fn, model.friction_mu * fn)
@@ -190,6 +204,36 @@ def contact_forces(model: PlanarModel, q, qd):
 
     _, vjp_fn = jax.vjp(geom_fn, q)
     return vjp_fn(force)[0]
+
+
+def fluid_drag_forces(model: PlanarModel, q, qd):
+    """Anisotropic viscous drag (swimmer-style fluid model).
+
+    Each body feels a force at its COM proportional to the COM velocity,
+    decomposed in the body frame (normal drag >> tangential drag makes
+    undulation propulsive), plus rotational damping. Generalized forces via
+    virtual work (vjp), like contacts.
+    """
+    if len(model.drag_normal) == 0:
+        return jnp.zeros(model.ndof)
+    cn = jnp.asarray(model.drag_normal, jnp.float32)
+    ct = jnp.asarray(model.drag_tangent, jnp.float32)
+    ca = jnp.asarray(model.drag_angular, jnp.float32)
+
+    def pose_fn(q_):
+        coms, angles, _ = fk(model, q_)
+        return coms, angles
+
+    (coms, angles), (vcom, vang) = jax.jvp(pose_fn, (q,), (qd,))
+    tangent = jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=-1)   # [B,2]
+    normal = jnp.stack([-jnp.sin(angles), jnp.cos(angles)], axis=-1)
+    vt = jnp.sum(vcom * tangent, axis=-1, keepdims=True)
+    vn = jnp.sum(vcom * normal, axis=-1, keepdims=True)
+    f_com = -(ct[:, None] * vt * tangent + cn[:, None] * vn * normal)  # [B,2]
+    torque = -ca * vang                                                # [B]
+
+    _, vjp_fn = jax.vjp(pose_fn, q)
+    return vjp_fn((f_com, torque))[0]
 
 
 def spring_forces(model: PlanarModel, q):
@@ -239,12 +283,12 @@ def substep(model: PlanarModel, q, qd, tau_ctrl, dt_sub: float):
     tuned against the substep size.
     """
     rhs = (tau_ctrl + spring_forces(model, q) + contact_forces(model, q, qd)
-           - bias_forces(model, q, qd))
+           + fluid_drag_forces(model, q, qd) - bias_forces(model, q, qd))
     M = mass_matrix(model, q) + 1e-6 * jnp.eye(model.ndof)
     D = damping_diagonal(model, q)
     lhs = M + dt_sub * jnp.diag(D)
     qd_new = jnp.linalg.solve(lhs, M @ qd + dt_sub * rhs)
-    qd_new = jnp.clip(qd_new, -100.0, 100.0)  # safety net against blow-ups
+    qd_new = jnp.clip(qd_new, -model.max_qd, model.max_qd)  # safety rail
     q_new = q + dt_sub * qd_new
     return q_new, qd_new
 
@@ -309,10 +353,17 @@ def step(model: PlanarModel, q, qd, ctrl):
 
     def body(carry, _):
         q_, qd_ = carry
-        rhs = (tau_ctrl + spring_forces(model, q_)
-               + contact_forces(model, q_, qd_) - bias)
+        if np.isfinite(model.motor_omega_max):
+            speed_factor = jnp.clip(
+                1.0 - qd_ * jnp.sign(tau_ctrl) / model.motor_omega_max, 0.0, 1.0)
+            tau = tau_ctrl * speed_factor
+        else:
+            tau = tau_ctrl
+        rhs = (tau + spring_forces(model, q_)
+               + contact_forces(model, q_, qd_)
+               + fluid_drag_forces(model, q_, qd_) - bias)
         qd_new = cholesky_solve_unrolled(L, M @ qd_ + dt_sub * rhs, n)
-        qd_new = jnp.clip(qd_new, -100.0, 100.0)
+        qd_new = jnp.clip(qd_new, -model.max_qd, model.max_qd)
         q_new = q_ + dt_sub * qd_new
         return (q_new, qd_new), None
 

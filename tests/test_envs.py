@@ -1,0 +1,150 @@
+"""Environment-zoo tests: shapes, finiteness, cost semantics, GT contracts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icem_tpu.envs import env_from_string
+from icem_tpu.envs.base import DiscreteSpace
+
+ALL_ENVS = [
+    ("ContinuousPendulum", {}, 3, 1),
+    ("ContinuousMountainCar", {}, 2, 1),
+    ("DiscreteMountainCar", {}, 2, 1),
+    ("DiscreteCartPole", {}, 4, 1),
+    ("ContinuousLunarLander", {}, 8, 2),
+    ("HalfCheetah", {"exclude_current_positions_from_observation": True}, 17, 6),
+    ("HalfCheetah", {"exclude_current_positions_from_observation": False}, 18, 6),
+    ("Hopper", {"exclude_current_positions_from_observation": False}, 12, 3),
+    ("Reacher", {}, 11, 2),
+    ("HumanoidStandup", {}, 26, 9),
+    ("Humanoid", {}, 26, 9),
+    ("FetchReach", {"sparse": False, "threshold": 0.05}, 13, 4),
+    ("FetchPickAndPlace", {"sparse": True, "threshold": 0.05}, 28, 4),
+    ("Door", {"shaped_reward": False}, 39, 28),
+    ("Relocate", {}, 42, 30),
+    ("cartpole", {"task_name": "swingup"}, 5, 1),
+    ("reacher", {"task_name": "easy"}, 6, 2),
+    ("restricted_reacher", {"task_name": "easy"}, 6, 2),
+    ("point_mass", {"task_name": "easy"}, 4, 2),
+    ("restricted_point_mass", {}, 4, 2),
+    ("cheetah", {"task_name": "run", "penalise_flipping": True}, 18, 6),
+    ("swimmer", {"task_name": "swimmer6"}, 25, 5),
+]
+
+
+@pytest.mark.parametrize("name,kwargs,obs_dim,act_dim",
+                         ALL_ENVS, ids=[f"{n}-{i}" for i, (n, *_ ) in enumerate(ALL_ENVS)])
+def test_env_contract(name, kwargs, obs_dim, act_dim):
+    env = env_from_string(name, **kwargs)
+    assert env.obs_dim == obs_dim
+    assert env.action_dim == act_dim
+
+    key = jax.random.key(0)
+    state, obs = env.reset_with_mode(key, "train")
+    assert obs.shape == (obs_dim,)
+    assert np.all(np.isfinite(np.asarray(obs)))
+
+    step = jax.jit(env.step)
+    k = jax.random.key(1)
+    for _ in range(5):
+        k, k2 = jax.random.split(k)
+        a = env.action_space.sample(k2)
+        state, obs, reward, done = step(state, a)
+    assert np.all(np.isfinite(np.asarray(obs))), name
+    assert np.isfinite(float(reward))
+
+    # batched cost over [T, B, dim] contract (misc/base_types.py:22-24)
+    obs_b = jnp.broadcast_to(obs, (4, 7, obs_dim))
+    act_b = jnp.zeros((4, 7, act_dim))
+    costs = env.cost_fn(obs_b, act_b, obs_b)
+    assert costs.shape == (4, 7)
+    assert np.all(np.isfinite(np.asarray(costs)))
+
+
+def test_state_from_observation_roundtrip():
+    for name, kwargs in [
+        ("ContinuousPendulum", {}),
+        ("HalfCheetah", {"exclude_current_positions_from_observation": False}),
+        ("Hopper", {"exclude_current_positions_from_observation": False}),
+        ("cartpole", {"task_name": "swingup"}),
+        ("HumanoidStandup", {}),
+    ]:
+        env = env_from_string(name, **kwargs)
+        state, obs = env.reset_with_mode(jax.random.key(3), "train")
+        state2 = env.state_from_observation(obs)
+        obs2 = env.observation(state2)
+        np.testing.assert_allclose(np.asarray(obs), np.asarray(obs2),
+                                   atol=1e-5, err_msg=name)
+
+
+def test_cheetah_cost_exact_formula():
+    env = env_from_string("HalfCheetah",
+                          exclude_current_positions_from_observation=False,
+                          penalise_flipping=True)
+    rng = np.random.default_rng(0)
+    obs = rng.standard_normal((32, 18)).astype(np.float32) * 2
+    act = rng.standard_normal((32, 6)).astype(np.float32)
+    got = np.asarray(env.cost_fn(jnp.array(obs), jnp.array(act), None))
+    want = (10.0 * (obs[:, 2] > np.pi / 2) + 10.0 * (obs[:, 2] < -np.pi / 2)
+            + 0.1 * np.sum(act**2, -1) - obs[:, 9])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    with pytest.raises(ValueError):
+        env.cost_fn(jnp.zeros((4, 13)), jnp.zeros((4, 6)), None)
+
+
+def test_fetch_goal_interface():
+    env = env_from_string("FetchPickAndPlace", sparse=True, threshold=0.05)
+    state, obs = env.reset_with_mode(jax.random.key(0), "train")
+    goal = env.goal_from_observation(obs[None])
+    achieved = env.achieved_goal_from_observation(obs[None])
+    assert goal.shape == (1, 3) and achieved.shape == (1, 3)
+    # sparse cost is 0/1
+    c = env.cost_fn(obs[None], jnp.zeros((1, 4)), obs[None])
+    assert float(c[0]) in (0.0, 1.0)
+    # overwrite_goal respects the relationship goal_from_obs(overwritten) == g
+    g = jnp.array([[1.0, 2.0, 3.0]])
+    new_obs = env.overwrite_goal(obs[None], g)
+    np.testing.assert_allclose(np.asarray(env.goal_from_observation(new_obs)), g)
+    # dense variant
+    env_d = env_from_string("FetchPickAndPlace", sparse=False, threshold=0.05)
+    c = env_d.cost_fn(obs[None], jnp.zeros((1, 4)), obs[None])
+    assert float(c[0]) > 0
+
+
+def test_door_cost_bonus_tiers():
+    env = env_from_string("Door", shaped_reward=False, add_bonus_rewards=True)
+    obs = np.zeros((4, 39), np.float32)
+    obs[:, 28] = [0.0, 0.5, 1.2, 1.5]  # door_pos
+    costs = np.asarray(env.cost_fn(jnp.array(obs), None, None))
+    base = 0.1 * (obs[:, 28] - 1.57) ** 2 + 1e-5 * np.sum(obs[:, -30:] ** 2, -1)
+    want = base - 2 * (obs[:, 28] > 0.2) - 8 * (obs[:, 28] > 1.0) - 10 * (obs[:, 28] > 1.35)
+    np.testing.assert_allclose(costs, want, rtol=1e-5)
+
+
+def test_relocate_lift_bonus():
+    env = env_from_string("Relocate")
+    obs = np.zeros((2, 42), np.float32)
+    obs[0, -1] = 0.0   # on the table
+    obs[1, -1] = 0.2   # lifted
+    obs[:, 36:39] = 0.5  # obj far from target
+    costs = np.asarray(env.cost_fn(jnp.array(obs), None, None))
+    assert costs[1] < costs[0]  # lift bonus dominates at same distances
+
+
+def test_discrete_space_embedding_roundtrip():
+    sp = DiscreteSpace(3)
+    idx = jnp.array([0, 1, 2])
+    emb = sp.embed(idx)
+    back = sp.index(emb[:, None])
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(idx))
+
+
+def test_humanoid_standup_cost_reads_height():
+    env = env_from_string("HumanoidStandup")
+    obs = np.zeros((3, 26), np.float32)
+    obs[:, 2] = [0.1, 0.5, 1.0]
+    costs = np.asarray(env.cost_fn(jnp.array(obs), np.zeros((3, 9), np.float32), None))
+    assert np.all(np.diff(costs) < 0)  # higher is cheaper
+    np.testing.assert_allclose(costs, -obs[:, 2], rtol=1e-5)
