@@ -17,6 +17,7 @@ ALL_ENVS = [
     ("HalfCheetah", {"exclude_current_positions_from_observation": True}, 17, 6),
     ("HalfCheetah", {"exclude_current_positions_from_observation": False}, 18, 6),
     ("Hopper", {"exclude_current_positions_from_observation": False}, 12, 3),
+    ("Ant", {"exclude_current_positions_from_observation": False}, 16, 4),
     ("Reacher", {}, 11, 2),
     ("HumanoidStandup", {}, 26, 9),
     ("Humanoid", {}, 26, 9),
@@ -68,6 +69,7 @@ def test_state_from_observation_roundtrip():
         ("ContinuousPendulum", {}),
         ("HalfCheetah", {"exclude_current_positions_from_observation": False}),
         ("Hopper", {"exclude_current_positions_from_observation": False}),
+        ("Ant", {"exclude_current_positions_from_observation": False}),
         ("cartpole", {"task_name": "swingup"}),
         ("HumanoidStandup", {}),
     ]:
@@ -148,3 +150,31 @@ def test_humanoid_standup_cost_reads_height():
     costs = np.asarray(env.cost_fn(jnp.array(obs), np.zeros((3, 9), np.float32), None))
     assert np.all(np.diff(costs) < 0)  # higher is cheaper
     np.testing.assert_allclose(costs, -obs[:, 2], rtol=1e-5)
+
+
+def test_ant_cost_exact_formula():
+    env = env_from_string("Ant", exclude_current_positions_from_observation=False)
+    obs = jnp.zeros((3, 16)).at[:, 2].set(jnp.array([0.57, 0.05, 1.5]))
+    next_obs = obs.at[:, 0].add(jnp.array([0.1, 0.1, 0.1]))
+    act = jnp.full((3, 4), 0.5)
+    costs = np.asarray(env.cost_fn(obs, act, next_obs))
+    x_vel = 0.1 / env.dt
+    ctrl = 0.5 * 4 * 0.25
+    np.testing.assert_allclose(costs[0], -x_vel + ctrl, rtol=1e-5)      # healthy
+    np.testing.assert_allclose(costs[1], -x_vel + 100.0 + ctrl, rtol=1e-5)  # too low
+    np.testing.assert_allclose(costs[2], -x_vel + 100.0 + ctrl, rtol=1e-5)  # too high
+    # excluded-positions obs must be rejected (mujoco.py:153-157 analog)
+    env2 = env_from_string("Ant", exclude_current_positions_from_observation=True)
+    with pytest.raises(AttributeError):
+        env2.cost_fn(jnp.zeros((3, 14)), act, jnp.zeros((3, 14)))
+
+
+def test_ant_stands_under_zero_action():
+    env = env_from_string("Ant", exclude_current_positions_from_observation=False)
+    state, obs = env.reset_with_mode(jax.random.key(0), "train")
+    step = jax.jit(env.step)
+    for _ in range(20):
+        state, obs, reward, done = step(state, jnp.zeros(4))
+    z = float(obs[2])
+    assert 0.2 < z < 1.0, f"ant fell or flew: z={z}"
+    assert float(done) == 0.0
