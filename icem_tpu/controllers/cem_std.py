@@ -121,8 +121,13 @@ def init_state(cfg: CemStdConfig, key) -> CemStdState:
 
 
 def plan_step(cfg: CemStdConfig, predict_fn, cost_fn, pstate: CemStdState, obs,
-              model_state) -> CemPlanResult:
-    """One env step of vanilla-CEM planning (mpc.py:200-263)."""
+              model_state, model_params=None) -> CemPlanResult:
+    """One env step of vanilla-CEM planning (mpc.py:200-263).
+
+    With ``model_params``, predict_fn takes (params, ms, obs, act) — see
+    icem.plan_step for the learned-model threading rationale."""
+    if model_params is not None:
+        predict_fn = partial(predict_fn, model_params)
     mean, std, key = pstate
     N = cfg.num_simulated_trajectories
 
@@ -201,9 +206,12 @@ class MpcCemStd:
         self._model_state = None
         self.was_reset = False
         self.last_expected_cost = None
+        self._core_fn = getattr(forward_model, "apply_fn", None) \
+            or forward_model.predict_fn
+        self._has_params = getattr(forward_model, "apply_fn", None) is not None
         self._plan = jax.jit(
-            partial(plan_step, self.cfg, forward_model.predict_fn, env.cost_fn))
-        self._advance = jax.jit(forward_model.predict_fn)
+            partial(plan_step, self.cfg, self._core_fn, env.cost_fn))
+        self._advance = jax.jit(self._core_fn)
 
     @property
     def model_evals_per_timestep(self):
@@ -228,11 +236,20 @@ class MpcCemStd:
         obs = jnp.asarray(obs, jnp.float32)
         self._model_state = self.forward_model.got_actual_observation_and_env_state(
             observation=obs, env_state=state, model_state=self._model_state)
-        result = self._plan(self._pstate, obs, self._model_state)
+        if self._has_params:
+            result = self._plan(self._pstate, obs, self._model_state,
+                                self.forward_model.params)
+        else:
+            result = self._plan(self._pstate, obs, self._model_state)
         self._pstate = result.state
         self.last_expected_cost = result.expected_cost
         if self._model_state is not None:
-            self._model_state, _, _ = self._advance(self._model_state, obs, result.action)
+            if self._has_params:
+                self._model_state, _, _ = self._advance(
+                    self.forward_model.params, self._model_state, obs, result.action)
+            else:
+                self._model_state, _, _ = self._advance(
+                    self._model_state, obs, result.action)
         return np.asarray(result.action)
 
     # -- functional interface for fused on-device episodes ------------------
@@ -241,13 +258,15 @@ class MpcCemStd:
 
     def functional_plan(self):
         cfg = self.cfg
-        predict_fn = self.forward_model.predict_fn
+        core_fn = self._core_fn
         cost_fn = self.env.cost_fn
         init_model_state = self.forward_model.init_model_state
+        params = self.forward_model.params if self._has_params else None
 
         def plan(pstate, obs, env_state):
             model_state = init_model_state(obs, env_state)
-            res = plan_step(cfg, predict_fn, cost_fn, pstate, obs, model_state)
+            res = plan_step(cfg, core_fn, cost_fn, pstate, obs, model_state,
+                            model_params=params)
             return res.action, res.state
 
         return plan

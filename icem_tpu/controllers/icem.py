@@ -195,15 +195,23 @@ def _refit(cfg: ICemConfig, mean, std, cand_actions, cand_costs, cand_last_obs):
 
 
 def plan_step(cfg: ICemConfig, predict_fn, cost_fn, pstate: ICemState, obs,
-              model_state) -> PlanResult:
+              model_state, model_params=None) -> PlanResult:
     """One environment step of iCEM planning (icem.py:106-189), fully traceable.
 
     predict_fn: (model_state, obs, action) -> (model_state, obs, reward),
-                unbatched (vmapped internally over the population).
+                unbatched (vmapped internally over the population). If
+                ``model_params`` is given, predict_fn must instead take
+                (model_params, model_state, obs, action) — learned models
+                thread their weights through here as a runtime argument so a
+                jitted plan always sees the LATEST training state (a closure
+                capture would be frozen into the compiled program), and the
+                weights stay unbatched under the population vmap.
     cost_fn:    batched (obs, act, next_obs) -> cost, reference contract.
     obs:        [obs_dim] current observation.
     model_state: forward-model state synced to reality (got_actual_...).
     """
+    if model_params is not None:
+        predict_fn = partial(predict_fn, model_params)
     mean, std = pstate.mean, pstate.std
     key = pstate.key
     have_elites = pstate.have_elites
@@ -324,12 +332,21 @@ class MpcICem:
         self.was_reset = False
         self.last_expected_cost = None
 
+        # learned models expose (params, ms, obs, act) as apply_fn + a live
+        # .params attribute; params enter the jitted plan as a runtime arg so
+        # retraining takes effect without retracing (see plan_step docstring)
+        self._core_fn = getattr(forward_model, "apply_fn", None) \
+            or forward_model.predict_fn
+        self._has_params = getattr(forward_model, "apply_fn", None) is not None
         self._plan = jax.jit(
-            partial(plan_step, self.cfg, forward_model.predict_fn, env.cost_fn)
+            partial(plan_step, self.cfg, self._core_fn, env.cost_fn)
         )
         # jitted one-step model advance for stateful models (icem.py:186-188);
         # eager execution here would dispatch hundreds of tiny kernels per step
-        self._advance = jax.jit(forward_model.predict_fn)
+        if self._has_params:
+            self._advance = jax.jit(self._core_fn)
+        else:
+            self._advance = jax.jit(forward_model.predict_fn)
 
     @property
     def model_evals_per_timestep(self):
@@ -358,13 +375,21 @@ class MpcICem:
         obs = jnp.asarray(obs, jnp.float32)
         self._model_state = self.forward_model.got_actual_observation_and_env_state(
             observation=obs, env_state=state, model_state=self._model_state)
-        result = self._plan(self._pstate, obs, self._model_state)
+        if self._has_params:
+            result = self._plan(self._pstate, obs, self._model_state,
+                                self.forward_model.params)
+        else:
+            result = self._plan(self._pstate, obs, self._model_state)
         self._pstate = result.state
         self.last_expected_cost = result.expected_cost
         # advance stateful models by the executed action (icem.py:186-188)
         if self._model_state is not None:
-            self._model_state, _, _ = self._advance(
-                self._model_state, obs, result.action)
+            if self._has_params:
+                self._model_state, _, _ = self._advance(
+                    self.forward_model.params, self._model_state, obs, result.action)
+            else:
+                self._model_state, _, _ = self._advance(
+                    self._model_state, obs, result.action)
         return np.asarray(result.action)
 
     # -- functional interface for fused on-device episodes ------------------
@@ -373,15 +398,18 @@ class MpcICem:
 
     def functional_plan(self):
         """(pstate, obs, env_state) -> (action, pstate'), fully traceable —
-        lets the episode loop fuse planner + env into one scan."""
+        lets the episode loop fuse planner + env into one scan. For learned
+        models the CURRENT params are captured; re-call after training."""
         cfg = self.cfg
-        predict_fn = self.forward_model.predict_fn
+        core_fn = self._core_fn
         cost_fn = self.env.cost_fn
         init_model_state = self.forward_model.init_model_state
+        params = self.forward_model.params if self._has_params else None
 
         def plan(pstate, obs, env_state):
             model_state = init_model_state(obs, env_state)
-            res = plan_step(cfg, predict_fn, cost_fn, pstate, obs, model_state)
+            res = plan_step(cfg, core_fn, cost_fn, pstate, obs, model_state,
+                            model_params=params)
             return res.action, res.state
 
         return plan

@@ -109,10 +109,20 @@ class ForwardModel:
 
     Subclasses expose the functional core as ``predict_fn`` (traceable,
     unbatched — callers vmap) plus lifecycle hooks for the driver.
+
+    LEARNED models additionally expose:
+    - ``params``: the live weight pytree (replaced by ``train``), and
+    - ``apply_fn(params, model_state, obs, action)``: the pure core with the
+      weights as an explicit first argument.
+    Controllers detect ``apply_fn`` and pass ``self.params`` into their
+    jitted plan every call, so training takes effect without retracing and
+    the weights stay unbatched (SPMD-replicated) under the population vmap.
     """
 
     supports_stochastic = False
     needs_training = False
+    params = None          # learned models: live weight pytree
+    apply_fn = None        # learned models: (params, ms, obs, act) -> (ms', obs', rew)
 
     def __init__(self, *, env, **kwargs):
         self.env = env

@@ -47,13 +47,18 @@ def make_pop_mesh(devices=None, axis_name: str = "pop") -> Mesh:
 
 
 def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
-                      pstate: ICemState, obs, model_state, axis_name: str = "pop"):
+                      pstate: ICemState, obs, model_state, axis_name: str = "pop",
+                      model_params=None):
     """One iCEM planning step with the population sharded over ``mesh``.
 
     Same algorithm as controllers.icem.plan_step (see its docstring for the
     reference mapping); differs only in how the population is laid out.
-    Returns (action, new_state, expected_cost).
+    With ``model_params``, predict_fn takes (params, ms, obs, act) — the
+    learned-model weights stay replicated across the mesh (see
+    controllers.icem.plan_step). Returns (action, new_state, expected_cost).
     """
+    if model_params is not None:
+        predict_fn = partial(predict_fn, model_params)
     n_dev = mesh.devices.size
     K = cfg.num_elites
     E = cfg.elites_kept

@@ -1,0 +1,186 @@
+"""Learned forward models: ensemble + RSSM training, planning integration,
+and params-freshness through the jitted plan.
+
+The reference only stubs the learned-model path
+(icem/models/abstract_models.py:56-73); these tests pin down the capability
+it was designed to host: train(buffer) -> better one-step predictions ->
+planning through the same plan_step as the ground-truth models.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icem_tpu.controllers.icem import MpcICem
+from icem_tpu.envs.classic import ContinuousPendulum
+from icem_tpu.models import forward_model_from_string
+from icem_tpu.models.ensemble import EnsembleModel
+from icem_tpu.models.rssm import RSSMModel
+from icem_tpu.runtime.buffer import Rollout, RolloutBuffer
+from icem_tpu.runtime.seeding import Seeding
+
+
+@pytest.fixture(scope="module")
+def pendulum_data():
+    Seeding.set_seed(0)
+    env = ContinuousPendulum()
+    key = jax.random.key(0)
+    step = jax.jit(env.step)
+    rollouts = []
+    for _ in range(8):
+        key, k = jax.random.split(key)
+        state, obs = env.reset_with_mode(k, "train")
+        trans = []
+        for _ in range(40):
+            key, k2 = jax.random.split(key)
+            a = env.action_space.sample(k2)
+            state, next_obs, rew, _ = step(state, a)
+            trans.append((np.asarray(obs), np.asarray(next_obs),
+                          np.asarray(a), float(rew)))
+            obs = next_obs
+        rollouts.append(Rollout(
+            ("observations", "next_observations", "actions", "rewards"), trans))
+    return env, RolloutBuffer(rollouts=rollouts)
+
+
+def test_registry_resolves_learned_models():
+    assert forward_model_from_string("EnsembleModel") is EnsembleModel
+    assert forward_model_from_string("RSSM") is RSSMModel
+
+
+def test_ensemble_learns_one_step_dynamics(pendulum_data):
+    env, buf = pendulum_data
+    model = EnsembleModel(env=env, ensemble_size=3, hidden=(64, 64),
+                          epochs=30, batch_size=128, deterministic=True, seed=0)
+    info = model.train(buf)
+    assert info["num_transitions"] == 320
+    assert np.isfinite(info["nll"])
+
+    # held-out: prediction must beat the zero-delta baseline clearly
+    step = jax.jit(env.step)
+    state, obs = env.reset_with_mode(jax.random.key(99), "train")
+    ms = model.init_model_state(obs)
+    key = jax.random.key(123)
+    errs, base = [], []
+    for _ in range(40):
+        key, k = jax.random.split(key)
+        a = env.action_space.sample(k)
+        _, pred_obs, _ = model.predict_fn(ms, jnp.asarray(obs), a)
+        state, next_obs, _, _ = step(state, a)
+        errs.append(float(jnp.linalg.norm(pred_obs - next_obs)))
+        base.append(float(jnp.linalg.norm(jnp.asarray(obs) - next_obs)))
+        obs = next_obs
+    assert np.mean(errs) < 0.5 * np.mean(base), (np.mean(errs), np.mean(base))
+
+
+def test_ensemble_params_fresh_through_jitted_plan(pendulum_data):
+    """Retraining must change the jitted planner's behavior WITHOUT a
+    retrace — weights are runtime args, not baked constants."""
+    env, buf = pendulum_data
+    model = EnsembleModel(env=env, ensemble_size=2, hidden=(32,), epochs=2,
+                          batch_size=64, deterministic=True, seed=0)
+    ctrl = MpcICem(env=env, forward_model=model, horizon=8,
+                   num_simulated_trajectories=16, seed=1,
+                   action_sampler_params=dict(opt_iterations=2, noise_beta=2.0))
+    state = jnp.array([np.pi, 0.0])
+    obs = env.observation(state)
+    ctrl.beginning_of_rollout(observation=obs, state=state)
+    pstate, ms = ctrl._pstate, ctrl._model_state
+
+    # identical planner state/obs/model-state: only the weights differ
+    r_before = ctrl._plan(pstate, obs, ms, model.params)
+    model.train(buf)
+    r_after = ctrl._plan(pstate, obs, ms, model.params)
+    assert np.isfinite(float(r_after.expected_cost))
+    assert not np.allclose(float(r_before.expected_cost),
+                           float(r_after.expected_cost))
+
+
+def test_ensemble_ts1_decorrelates_population(pendulum_data):
+    """Broadcast model state must still produce diverse stochastic rollouts
+    across the population (key folded with action bits)."""
+    env, buf = pendulum_data
+    model = EnsembleModel(env=env, ensemble_size=3, hidden=(32,), epochs=1,
+                          batch_size=64, deterministic=False, seed=0)
+    model.train(buf)
+    from icem_tpu.models.base import rollout_open_loop
+    obs = env.observation(jnp.array([np.pi, 0.0]))
+    ms = model.init_model_state(obs)
+    actions = jax.random.uniform(jax.random.key(5), (8, 6, 1), minval=-1, maxval=1)
+    traj = rollout_open_loop(
+        lambda s, o, a: model.apply_fn(model.params, s, o, a), ms, obs, actions)
+    finals = np.asarray(traj.next_observations[-1])
+    # distinct action sequences -> distinct final predictions
+    assert len(np.unique(finals.round(5), axis=0)) > 1
+
+
+def test_ensemble_save_load_roundtrip(pendulum_data, tmp_path):
+    env, buf = pendulum_data
+    model = EnsembleModel(env=env, ensemble_size=2, hidden=(32,), epochs=1,
+                          batch_size=64, deterministic=True, seed=0)
+    model.train(buf)
+    path = tmp_path / "ens.pkl"
+    model.save(path)
+    model2 = EnsembleModel(env=env, ensemble_size=2, hidden=(32,), epochs=1,
+                           batch_size=64, deterministic=True, seed=1)
+    model2.load(path)
+    obs = env.observation(jnp.array([1.0, 0.0]))
+    a = jnp.array([0.5])
+    ms = {"key": jax.random.key(7)}
+    _, o1, r1 = model.apply_fn(model.params, ms, obs, a)
+    _, o2, r2 = model2.apply_fn(model2.params, ms, obs, a)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+    np.testing.assert_allclose(float(r1), float(r2), atol=1e-6)
+
+
+def test_rssm_elbo_improves_and_plans(pendulum_data):
+    env, buf = pendulum_data
+    model = RSSMModel(env=env, stoch_dim=8, det_dim=32, hidden=32, embed_dim=16,
+                      seq_length=16, batch_size=8, train_steps=120, seed=0)
+    i1 = model.train(buf)
+    i2 = model.train(buf)
+    assert i2["recon"] < i1["recon"]
+    assert np.isfinite(i2["kl"])
+
+    ctrl = MpcICem(env=env, forward_model=model, horizon=8,
+                   num_simulated_trajectories=16, seed=1,
+                   action_sampler_params=dict(opt_iterations=2, noise_beta=2.0))
+    state = jnp.array([np.pi, 0.0])
+    obs = env.observation(state)
+    ctrl.beginning_of_rollout(observation=obs, state=state)
+    step = jax.jit(env.step)
+    for _ in range(3):
+        a = ctrl.get_action(obs, state)
+        assert np.all(np.isfinite(a))
+        state, obs, _, _ = step(state, jnp.asarray(a))
+
+
+def test_rssm_filter_tracks_observation(pendulum_data):
+    """Posterior filtering: the decoded obs after conditioning on a real
+    observation should be closer to it than the open-loop prior's."""
+    env, buf = pendulum_data
+    model = RSSMModel(env=env, stoch_dim=8, det_dim=32, hidden=32, embed_dim=16,
+                      seq_length=16, batch_size=8, train_steps=200,
+                      deterministic_plan=True, seed=0)
+    model.train(buf)
+    # filter along a real trajectory (the controller's use pattern: posterior
+    # on the live obs, then advance the latent by the executed action)
+    step = jax.jit(env.step)
+    state, obs = env.reset_with_mode(jax.random.key(55), "train")
+    key = jax.random.key(11)
+    ms = None
+    ratios = []
+    for _ in range(10):
+        ms = model.got_actual_observation_and_env_state(observation=obs,
+                                                        model_state=ms)
+        decoded = model._decode(model.params, ms["h"], ms["z"])
+        err = float(jnp.linalg.norm(decoded - obs))
+        base = float(jnp.linalg.norm(obs - model.params["obs_mu"])) + 1e-6
+        ratios.append(err / base)
+        key, k = jax.random.split(key)
+        a = env.action_space.sample(k)
+        ms, _, _ = model.apply_fn(model.params, ms, obs, a)
+        state, obs, _, _ = step(state, a)
+    # reconstruction must clearly beat the predict-the-mean baseline
+    assert np.mean(ratios) < 0.75, ratios
