@@ -259,6 +259,7 @@ class EnsembleModel(ForwardModel):
             params, opt_state, nll, mse = self._fit(params, opt_state, k, x_n, t)
         self.params, self._opt_state = params, opt_state
         self.trained = True
+        self.version += 1
         return {"nll": float(nll), "mse": float(mse),
                 "num_transitions": int(x.shape[0])}
 
@@ -278,3 +279,4 @@ class EnsembleModel(ForwardModel):
         self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
         self._opt_state = jax.tree_util.tree_map(jnp.asarray, state["opt_state"])
         self.trained = state["trained"]
+        self.version += 1  # params changed -> invalidate fused caches

@@ -285,6 +285,7 @@ class RSSMModel(ForwardModel):
             hist.append((float(loss),) + tuple(float(a) for a in aux))
         self.params, self._opt_state = params, opt_state
         self.trained = True
+        self.version += 1
         # report means over the last quarter of steps (single-batch values are noisy)
         tail = np.mean(hist[-max(len(hist) // 4, 1):], axis=0)
         return {"loss": float(tail[0]), "recon": float(tail[1]),
@@ -304,3 +305,4 @@ class RSSMModel(ForwardModel):
         self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
         self._opt_state = jax.tree_util.tree_map(jnp.asarray, state["opt_state"])
         self.trained = state["trained"]
+        self.version += 1  # params changed -> invalidate fused caches

@@ -51,6 +51,9 @@ class RolloutManager:
         self.num_parallel = int(p.get("num_parallel", 0))
         self.fuse_on_device = bool(p.get("fuse_on_device", True))
         self._episode_counter = 0
+        # fused-episode compile cache: functional_plan() captures learned
+        # weights by value, so the key includes the model's train-version
+        self._fused_cache = {}
 
     # ------------------------------------------------------------------ #
     def sample(self, policy, render: bool = False, mode: str = "train",
@@ -126,8 +129,16 @@ class RolloutManager:
         episodes are one SPMD program over a batch axis.
         """
         env = self.env
-        plan = policy.functional_plan()
         keys = jax.random.split(self._episode_key(mode), no_rollouts)
+
+        model_version = getattr(getattr(policy, "forward_model", None), "version", 0)
+        cache_key = (id(policy), mode, no_rollouts, model_version)
+        cached = self._fused_cache.get(cache_key)
+        if cached is not None:
+            episodes = cached(keys)
+            return self._episodes_to_rollouts(episodes, no_rollouts)
+
+        plan = policy.functional_plan()
         horizon = self.task_horizon
         only_final = self.only_final_reward
         has_success = env.is_success(
@@ -164,17 +175,22 @@ class RolloutManager:
                 rew_seq = final_only
             return obs_seq, nxt_seq, act_seq, rew_seq, done_seq, valid_seq, succ_seq
 
-        episodes = jax.jit(jax.vmap(one_episode))(keys)
+        run = jax.jit(jax.vmap(one_episode))
+        self._fused_cache[cache_key] = run
+        self._has_success_cache = has_success
+        episodes = run(keys)
+        return self._episodes_to_rollouts(episodes, no_rollouts)
+
+    def _episodes_to_rollouts(self, episodes, no_rollouts: int):
         obs_seq, nxt_seq, act_seq, rew_seq, done_seq, valid_seq, succ_seq = \
             [np.asarray(x) for x in episodes]
-
         rollouts = []
         for i in range(no_rollouts):
             t = int(valid_seq[i].sum())
             data = dict(observations=obs_seq[i, :t], next_observations=nxt_seq[i, :t],
                         actions=act_seq[i, :t], rewards=rew_seq[i, :t],
                         dones=done_seq[i, :t])
-            if has_success:
+            if getattr(self, "_has_success_cache", False):
                 data["successes"] = succ_seq[i, :t]
             rollouts.append(Rollout(data=data))
         return rollouts
