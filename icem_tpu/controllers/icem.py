@@ -331,6 +331,7 @@ class MpcICem:
         self._model_state = None
         self.was_reset = False
         self.last_expected_cost = None
+        self._replay = None
 
         # learned models expose (params, ms, obs, act) as apply_fn + a live
         # .params attribute; params enter the jitted plan as a runtime arg so
@@ -369,10 +370,45 @@ class MpcICem:
     def end_of_rollout(self, total_time, total_return, mode):
         pass
 
+    def check_model_consistency(self, env_state):
+        """GT-model drift check (reference: controllers/mpc.py:39-47): warn if
+        the model's internal state diverged >1e-5 from the live env state."""
+        if env_state is None or self._model_state is None or self._has_params:
+            return None
+        diff = float(self.env.compute_state_difference(env_state, self._model_state))
+        if diff > 1e-5:
+            print(f"Warning: internal forward model differs from env: {diff}")
+        return diff
+
+    def visualize_plan(self, obs, env_state, result: PlanResult):
+        """Plan-replay divergence report (abstract_controller.py:93-128):
+        re-simulate the chosen plan in the real env and report when the final
+        observation misses the model's prediction by more than 0.01."""
+        if env_state is None:
+            return None
+        if self._replay is None:
+            env_step = self.env.step
+
+            def replay(s0, actions):
+                def body(s, a):
+                    s2, o2, _, _ = env_step(s, a)
+                    return s2, o2
+                _, obs_seq = jax.lax.scan(body, s0, actions)
+                return obs_seq[-1]
+
+            self._replay = jax.jit(replay)
+        final_obs = self._replay(env_state, result.best_actions)
+        div = float(jnp.linalg.norm(final_obs - result.best_last_obs))
+        if div > 0.01:
+            print(f"plan divergence at horizon end: |env - model| = {div:.5f}")
+        return div
+
     def get_action(self, obs, state=None, mode="train"):
         if not self.was_reset:
             raise AttributeError("beginning_of_rollout() needs to be called before")
         obs = jnp.asarray(obs, jnp.float32)
+        if self.verbose:
+            self.check_model_consistency(state)
         self._model_state = self.forward_model.got_actual_observation_and_env_state(
             observation=obs, env_state=state, model_state=self._model_state)
         if self._has_params:
@@ -382,6 +418,8 @@ class MpcICem:
             result = self._plan(self._pstate, obs, self._model_state)
         self._pstate = result.state
         self.last_expected_cost = result.expected_cost
+        if self.do_visualize_plan:
+            self.visualize_plan(obs, state, result)
         # advance stateful models by the executed action (icem.py:186-188)
         if self._model_state is not None:
             if self._has_params:

@@ -175,6 +175,20 @@ class Env:
         """Per-step success flag; None means the env has no success notion."""
         return None
 
+    # -- rendering (host-side; never in the device hot path) ---------------
+    def render_frame(self, state):
+        """One RGB frame (uint8 [H,W,3]) of the given state, or None.
+
+        Planar-engine envs render their kinematic skeleton by default;
+        other envs may override or leave rendering unsupported.
+        """
+        model = getattr(self, "model", None)
+        if model is not None and hasattr(model, "ndof"):
+            from icem_tpu.envs.physics.render import render_planar
+            q = np.asarray(state)[: model.ndof]
+            return render_planar(model, q)
+        return None
+
     # -- misc --------------------------------------------------------------
     def get_fps(self) -> float:
         return 1.0 / self.dt

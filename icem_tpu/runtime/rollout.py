@@ -47,7 +47,9 @@ class RolloutManager:
         self.use_env_states = bool(p.get("use_env_states", False))
         self.only_final_reward = bool(p.get("only_final_reward", False))
         self.render = bool(p.get("render", False))
-        self.record = bool(p.get("record", False))
+        # record: falsy = off; True = "videos/"; str = target directory
+        rec = p.get("record", False)
+        self.record = rec if isinstance(rec, str) else ("videos" if rec else "")
         self.num_parallel = int(p.get("num_parallel", 0))
         self.fuse_on_device = bool(p.get("fuse_on_device", True))
         self._episode_counter = 0
@@ -63,7 +65,7 @@ class RolloutManager:
                     and hasattr(policy, "functional_plan"))
         if can_fuse:
             return self.sample_on_device(policy, mode=mode, no_rollouts=no_rollouts)
-        return [self._sample(policy, render=render, mode=mode)
+        return [self._sample(policy, render=render, mode=mode, name=name or mode)
                 for _ in range(no_rollouts)]
 
     # ------------------------------------------------------------------ #
@@ -72,10 +74,16 @@ class RolloutManager:
         return Seeding.key_for(f"rollout/{mode}/{self._episode_counter}")
 
     def _sample(self, policy, render: bool = False, mode: str = "train",
-                start_state=None) -> Rollout:
+                start_state=None, name: str = "") -> Rollout:
         """Host-driven canonical env loop (rollout_utils.py:154-227)."""
         env = self.env
         key = self._episode_key(mode)
+        recorder = None
+        if self.record:
+            from icem_tpu.runtime.video import VideoRecorder
+            recorder = VideoRecorder(self.record,
+                                     f"{name or mode}_{self._episode_counter:04d}",
+                                     fps=env.get_fps())
         if start_state is not None:
             state = start_state
             obs = env.observation(state)
@@ -95,8 +103,10 @@ class RolloutManager:
         successes = []
         start_time = time.time()
         for t in range(self.task_horizon):
-            if render and hasattr(env, "render_frame"):
-                env.render_frame(state)
+            if render or recorder is not None:
+                frame = env.render_frame(state)
+                if recorder is not None and frame is not None:
+                    recorder.append(frame)
             env_state = state if self.use_env_states else None
             action = policy.get_action(np.asarray(obs), env_state, mode=mode)
             next_state, next_obs, reward, done = step(state, jnp.asarray(action))
@@ -117,6 +127,10 @@ class RolloutManager:
         if successes:
             data["successes"] = np.array(successes, np.float32)
 
+        if recorder is not None:
+            path = recorder.close()
+            if path:
+                print(f"recorded episode video: {path}")
         if hasattr(policy, "end_of_rollout"):
             policy.end_of_rollout(time.time() - start_time, float(rew_a.sum()), mode)
         return Rollout(data=data)

@@ -164,3 +164,34 @@ def test_icem_point_mass_reaches_goal():
         state, obs, _, _ = step(state, jnp.asarray(a))
     dist = float(np.linalg.norm(np.asarray(obs[:2]) - np.array([0.1, -0.2])))
     assert dist < 0.05, f"point mass ended {dist} from goal"
+
+
+def test_consistency_and_plan_divergence_diagnostics(capsys):
+    """check_model_consistency (mpc.py:39-47) + plan-replay divergence
+    (abstract_controller.py:93-128) equivalents."""
+    from icem_tpu.controllers.icem import MpcICem
+
+    env = ContinuousPendulum()
+    ctrl = MpcICem(env=env, forward_model=GroundTruthModel(env=env),
+                      horizon=8, num_simulated_trajectories=16, seed=3,
+                      verbose=True, do_visualize_plan=True,
+                      action_sampler_params=dict(opt_iterations=2))
+    state = jnp.array([jnp.pi, 0.0])
+    obs = env.observation(state)
+    ctrl.beginning_of_rollout(observation=obs, state=state)
+    ctrl.get_action(obs, state)
+    a = ctrl.get_action(obs, state)
+
+    # GT model on a pure env: zero drift, zero plan divergence
+    assert ctrl.check_model_consistency(ctrl._model_state) == 0.0
+    ms = ctrl.forward_model.got_actual_observation_and_env_state(
+        observation=obs, env_state=state, model_state=None)
+    res = ctrl._plan(ctrl._pstate, obs, ms)
+    div = ctrl.visualize_plan(obs, state, res)
+    assert div is not None and div < 1e-4
+
+    # a corrupted model state must be flagged
+    bad = ctrl._model_state + 1.0
+    diff = ctrl.check_model_consistency(bad)
+    assert diff is not None and diff > 1e-5
+    assert "differs from env" in capsys.readouterr().out
