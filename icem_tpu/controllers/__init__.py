@@ -11,6 +11,7 @@ _CONTROLLER_REGISTRY = {
     "mpc-cem-std": ("icem_tpu.controllers.cem_std", "MpcCemStd"),
     "mpc-random": ("icem_tpu.controllers.random", "MpcRandom"),
     "random": ("icem_tpu.controllers.random", "RndController"),
+    "open-loop": ("icem_tpu.controllers.open_loop", "OpenLoopPolicy"),
 }
 
 

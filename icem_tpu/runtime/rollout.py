@@ -110,6 +110,13 @@ class RolloutManager:
             env_state = state if self.use_env_states else None
             action = policy.get_action(np.asarray(obs), env_state, mode=mode)
             next_state, next_obs, reward, done = step(state, jnp.asarray(action))
+            if not np.all(np.isfinite(np.asarray(next_obs))):
+                # physics blow-up containment: end the episode here rather
+                # than propagate NaNs (the MujocoException-skip analog,
+                # reference rollout_utils.py:189-194)
+                print(f"Warning: non-finite observation at step {t}; "
+                      f"truncating episode")
+                break
             succ = env.is_success(obs, action, next_obs)
             if succ is not None:
                 successes.append(float(succ))
@@ -119,6 +126,12 @@ class RolloutManager:
             if float(done):
                 break
 
+        if not transitions:  # first-step blow-up: empty rollout, not a crash
+            z = np.zeros((0, env.obs_dim), np.float32)
+            za = np.zeros((0, env.action_dim), np.float32)
+            return Rollout(data=dict(observations=z, next_observations=z,
+                                     actions=za, rewards=np.zeros(0, np.float32),
+                                     dones=np.zeros(0, np.float32)))
         obs_a, nxt_a, act_a, rew_a, done_a = map(np.array, zip(*transitions))
         if self.only_final_reward:
             rew_a[:-1] = 0.0

@@ -195,3 +195,23 @@ def test_consistency_and_plan_divergence_diagnostics(capsys):
     diff = ctrl.check_model_consistency(bad)
     assert diff is not None and diff > 1e-5
     assert "differs from env" in capsys.readouterr().out
+
+
+def test_open_loop_policy_replay():
+    """OpenLoopPolicy replay semantics (abstract_controller.py:153-184)."""
+    from icem_tpu.controllers.open_loop import OpenLoopPolicy
+    seq = np.arange(24, dtype=np.float32).reshape(4, 3, 2)  # [p=4, h=3, d=2]
+    pol = OpenLoopPolicy(seq)
+    pol.beginning_of_rollout(observation=None)
+    np.testing.assert_array_equal(pol.get_action(), seq[:, 0, :])
+    np.testing.assert_array_equal(pol.get_action(), seq[:, 1, :])
+    sub = pol.get_parallel_policy_copy([1, 3])
+    assert sub.population == 2
+    np.testing.assert_array_equal(sub.action_sequences, seq[[1, 3]])
+    # single-plan replay saturates at the last action
+    single = OpenLoopPolicy(seq[0])
+    single.beginning_of_rollout(observation=None)
+    for _ in range(3):
+        a = single.get_action()
+    assert a.shape == (2,)
+    np.testing.assert_array_equal(single.get_action(), seq[0, -1, :])
