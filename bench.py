@@ -35,12 +35,12 @@ def main():
     PLAN_STEPS = int(os.environ.get("BENCH_STEPS", 10))
     HORIZON = 30
 
+    from icem_tpu.models.ground_truth import GroundTruthModel
+
     env = HalfCheetah(exclude_current_positions_from_observation=True,
                       penalise_flipping=True)
-
-    def predict_fn(ms, obs, act):
-        ns, no, rew, _ = env.step(ms, act)
-        return ns, no, rew
+    # GroundTruthModel's predict_fn carries the population-batched fast path
+    predict_fn = GroundTruthModel(env=env).predict_fn
 
     cfg = ic.ICemConfig(
         horizon=HORIZON, num_simulated_trajectories=POP,

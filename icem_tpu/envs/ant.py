@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from icem_tpu.envs.base import BoxSpace, Env
+from icem_tpu.envs.planar_base import PlanarEnv
 from icem_tpu.envs.physics import planar
 from icem_tpu.envs.physics.planar import PlanarModel
 
@@ -104,7 +105,7 @@ def make_ant_model(dt: float = 0.05, n_substeps: int = 20) -> PlanarModel:
     )
 
 
-class Ant(Env):
+class Ant(PlanarEnv):
     """reference: environments/mujoco.py:134-171 ("Ant" factory entry)."""
 
     name = "Ant"
@@ -159,20 +160,14 @@ class Ant(Env):
                              axis=-1)
         return jnp.concatenate([q, qd], axis=-1)
 
-    def step(self, state, action):
-        q, qd = state[:7], state[7:]
-        action = jnp.clip(action, -1.0, 1.0)
-        x_before = q[0]
-        q, qd = planar.step(self.model, q, qd, action)
-        x_velocity = (q[0] - x_before) / self.dt
-
-        z = q[1] + _Z0
+    def _post_step(self, state, new_state, action):
+        x_velocity = (new_state[0] - state[0]) / self.dt
+        z = new_state[1] + _Z0
         healthy = ((z >= self._healthy_z_range[0])
                    & (z <= self._healthy_z_range[1])).astype(jnp.float32)
         reward = (x_velocity + self._healthy_reward * healthy
                   - self._ctrl_cost_weight * jnp.sum(jnp.square(action)))
-        new_state = jnp.concatenate([q, qd])
-        return new_state, self.observation(new_state), reward, 1.0 - healthy
+        return self.observation(new_state), reward, 1.0 - healthy
 
     def are_states_unhealthy(self, states):
         """Batched unhealthy flag over position-included obs (mujoco.py:148-150)."""

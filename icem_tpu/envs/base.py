@@ -141,6 +141,11 @@ class Env:
         """
         raise NotImplementedError
 
+    def step_batched(self, states, actions):
+        """Population step over leading batch axes; envs with a faster
+        population-native path override this (see envs/planar_base.py)."""
+        return jax.vmap(self.step)(states, actions)
+
     # -- costs ------------------------------------------------------------
     def cost_fn(self, observation, action, next_obs):
         """Default: masked L2 distance to goal_state (abstract_environments.py:14-17)."""

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from icem_tpu.envs.base import BoxSpace, Env
+from icem_tpu.envs.planar_base import PlanarEnv
 from icem_tpu.envs.physics import planar
 from icem_tpu.envs.physics.planar import PlanarModel
 
@@ -114,7 +115,7 @@ def make_cheetah_model(dt: float = 0.05, n_substeps: int = 10) -> PlanarModel:
     )
 
 
-class HalfCheetah(Env):
+class HalfCheetah(PlanarEnv):
     """reference: environments/mujoco.py:48-131 ("HalfCheetah" factory entry)."""
 
     name = "HalfCheetah"
@@ -158,19 +159,12 @@ class HalfCheetah(Env):
             )
         return observation
 
-    # -- dynamics ----------------------------------------------------------
-    def step(self, state, action):
-        qpos, qvel = state[: self.nq], state[self.nq:]
-        action = jnp.clip(action, -1.0, 1.0)
-        x_before = qpos[0]
-        qpos, qvel = planar.step(self.model, qpos, qvel, action)
-        x_after = qpos[0]
-        x_velocity = (x_after - x_before) / self.dt
-
+    # -- dynamics (physics via PlanarEnv.step / step_batched) ---------------
+    def _post_step(self, state, new_state, action):
+        x_velocity = (new_state[0] - state[0]) / self.dt
         ctrl_cost = self._ctrl_cost_weight * jnp.sum(jnp.square(action))
         reward = self._forward_reward_weight * x_velocity - ctrl_cost
-        new_state = jnp.concatenate([qpos, qvel])
-        return new_state, self.observation(new_state), reward, jnp.float32(0.0)
+        return self.observation(new_state), reward, jnp.float32(0.0)
 
     # -- cost: exact reference semantics (mujoco.py:67-99) ------------------
     def cost_fn(self, states, actions, next_states=None):

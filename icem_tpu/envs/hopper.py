@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from icem_tpu.envs.base import BoxSpace, Env
+from icem_tpu.envs.planar_base import PlanarEnv
 from icem_tpu.envs.physics import planar
 from icem_tpu.envs.physics.planar import PlanarModel
 
@@ -88,7 +89,7 @@ def make_hopper_model(dt: float = 0.05, n_substeps: int = 20) -> PlanarModel:
     )
 
 
-class Hopper(Env):
+class Hopper(PlanarEnv):
     """reference: environments/mujoco.py:174-225 ("Hopper" factory entry)."""
 
     name = "Hopper"
@@ -135,19 +136,11 @@ class Hopper(Env):
         """Engine z is an offset from the stance height z0 = 1.2."""
         return qpos_z + 1.2
 
-    def step(self, state, action):
-        qpos, qvel = state[: self.nq], state[self.nq:]
-        action = jnp.clip(action, -1.0, 1.0)
-        x_before = qpos[0]
-        qpos, qvel = planar.step(self.model, qpos, qvel, action)
-        x_after = qpos[0]
-        x_velocity = (x_after - x_before) / self.dt
-
-        healthy = self._is_healthy(qpos, qvel)
+    def _post_step(self, state, new_state, action):
+        x_velocity = (new_state[0] - state[0]) / self.dt
+        healthy = self._is_healthy(new_state[: self.nq], new_state[self.nq:])
         reward = x_velocity + 1.0 * healthy - self._ctrl_cost_weight * jnp.sum(action**2)
-        new_state = jnp.concatenate([qpos, qvel])
-        done = 1.0 - healthy
-        return new_state, self.observation(new_state), reward, done
+        return self.observation(new_state), reward, 1.0 - healthy
 
     def _is_healthy(self, qpos, qvel):
         z = self._absolute_z(qpos[1])

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from icem_tpu.envs.base import BoxSpace, Env
+from icem_tpu.envs.planar_base import PlanarEnv
 from icem_tpu.envs.physics import planar
 from icem_tpu.envs.physics.planar import PlanarModel
 
@@ -123,7 +124,7 @@ def make_humanoid_model(dt: float = 0.05, n_substeps: int = 20) -> PlanarModel:
     )
 
 
-class _HumanoidBase(Env):
+class _HumanoidBase(PlanarEnv):
     nq = 13   # [x, y(=0), z, rot, 9 joints] — y is a constant-zero filler so
     nv = 13   # reference index arithmetic (height at 2, vx at nq) holds
     dt = 0.05
@@ -156,11 +157,6 @@ class _HumanoidBase(Env):
                              axis=-1)
         return jnp.concatenate([q, qd], axis=-1)
 
-    def _physics_step(self, state, action):
-        q, qd = state[:12], state[12:]
-        action = jnp.clip(action, -1.0, 1.0)
-        q, qd = planar.step(self.model, q, qd, action)
-        return jnp.concatenate([q, qd])
 
 
 class HumanoidStandup(_HumanoidBase):
@@ -181,14 +177,13 @@ class HumanoidStandup(_HumanoidBase):
         qd = 0.01 * jax.random.normal(k2, (12,))
         return jnp.concatenate([q, qd])
 
-    def step(self, state, action):
-        new_state = self._physics_step(state, action)
+    def _post_step(self, state, new_state, action):
         obs = self.observation(new_state)
         height = obs[2]
         ctrl = 0.1 * jnp.sum(jnp.square(action))
         # uph_cost analog: reward height gain rate minus control cost
         reward = height / self.dt * 0.04 - ctrl + 1.0
-        return new_state, obs, reward, jnp.float32(0.0)
+        return obs, reward, jnp.float32(0.0)
 
     def cost_fn(self, observation, action, next_obs):
         """Exact reference formula: -height + 0.1*|a|^2 (mujoco.py:259-277)."""
@@ -216,8 +211,7 @@ class Humanoid(_HumanoidBase):
         qd = 0.01 * jax.random.normal(k2, (12,))
         return jnp.concatenate([q, qd])
 
-    def step(self, state, action):
-        new_state = self._physics_step(state, action)
+    def _post_step(self, state, new_state, action):
         obs = self.observation(new_state)
         x_vel = obs[self.nq]
         z = obs[2]
@@ -225,7 +219,7 @@ class Humanoid(_HumanoidBase):
                    & (z < self._healthy_z_range[1])).astype(jnp.float32)
         reward = (self._forward_reward_weight * x_vel + 5.0 * healthy
                   - self._ctrl_cost_weight * jnp.sum(jnp.square(action)))
-        return new_state, obs, reward, 1.0 - healthy
+        return obs, reward, 1.0 - healthy
 
     def unhealthy_states(self, states):
         z = states[..., 2]

@@ -1,0 +1,357 @@
+"""Population-batched planar physics with a VPU-native data layout.
+
+Why this exists: the per-trajectory engine (physics/planar.py) under
+``vmap`` produces XLA ops on [pop, ndof~9] arrays — the 9-wide minor axis
+occupies 9 of the VPU's 128 lanes, idling >90% of the vector unit. Here
+every physical scalar (a joint angle, a geom coordinate, a force component)
+is an [8, L] "batched scalar" — exactly one full f32 vreg tile per op when
+L is a multiple of 128 — with the population as 8*L trajectories. The
+substep chain becomes a few hundred full-width elementwise ops instead of
+thousands of 7%-occupancy ones.
+
+Division of labor per control step (numerics identical to planar.step):
+- once per control step (slow-varying, 1/n_substeps of the work): mass
+  matrix, implicit-damping Cholesky factor, Coriolis/gravity bias — reused
+  from the autodiff engine under plain vmap, then relaid out once,
+- per substep (the hot loop): hand-derived batched forward kinematics,
+  contact forces via analytic point-Jacobians (for a planar tree, column j
+  of a point Jacobian is perp(p - o_j) about the ancestor joint origin),
+  spring/limit torques, motor speed limit, M qd product and triangular
+  solves, semi-implicit integration.
+
+Supported models: free_root planar trees without fluid drag (HalfCheetah,
+Hopper, Ant, humanoids). Callers fall back to vmap(planar.step) otherwise.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icem_tpu.envs.physics import planar
+from icem_tpu.envs.physics.planar import PlanarModel
+
+
+def supports_batched(model: PlanarModel) -> bool:
+    return bool(model.free_root) and len(model.drag_normal) == 0
+
+
+def _ancestors(model: PlanarModel):
+    """For each body, the chain of bodies from root to itself (inclusive)."""
+    chains = []
+    for b in range(model.nbody):
+        chain, c = [], b
+        while c != -1:
+            chain.append(c)
+            c = model.parent[c]
+        chains.append(list(reversed(chain)))
+    return chains
+
+
+def _hinge_ancestors(model: PlanarModel, chains):
+    """Per body: [(dof_j, joint_body_c), ...] — root rotation + joint chain.
+
+    Column j of any point-Jacobian on body b is perp(p - o_c) for each such
+    pair; everything below (contacts, mass matrix, gravity, Coriolis) is
+    assembled from these."""
+    out = []
+    for b in range(model.nbody):
+        out.append([(2, 0)] + [(model.dof_of_body(c), c)
+                               for c in chains[b] if c != 0])
+    return out
+
+
+def _fk_core(model: PlanarModel, q):
+    """q: [ndof, *B] -> per-body lists of batched scalars (ox, oz, cs, sn)."""
+    anchors = np.asarray(model.anchor, np.float64)
+    ox, oz, ang, cs, sn = [], [], [], [], []
+    for b in range(model.nbody):
+        if b == 0:
+            a = q[2]
+            x = q[0] + anchors[0, 0]
+            z = q[1] + anchors[0, 1]
+        else:
+            pa = model.parent[b]
+            a = ang[pa] + q[model.dof_of_body(b)]
+            x = ox[pa] + cs[pa] * anchors[b, 0] - sn[pa] * anchors[b, 1]
+            z = oz[pa] + sn[pa] * anchors[b, 0] + cs[pa] * anchors[b, 1]
+        ox.append(x)
+        oz.append(z)
+        ang.append(a)
+        cs.append(jnp.cos(a))
+        sn.append(jnp.sin(a))
+    return ox, oz, cs, sn
+
+
+def _fk_batched(model: PlanarModel, q):
+    """q: [ndof, *B]. Returns per-body origin lists and per-geom points."""
+    ox, oz, cs, sn = _fk_core(model, q)
+    gpos = np.asarray(model.geom_pos, np.float64)
+    px, pz = [], []
+    for g, b in enumerate(model.geom_body):
+        px.append(ox[b] + cs[b] * gpos[g, 0] - sn[b] * gpos[g, 1])
+        pz.append(oz[b] + sn[b] * gpos[g, 0] + cs[b] * gpos[g, 1])
+    return ox, oz, None, px, pz
+
+
+def mass_bias_batched(model: PlanarModel, q, qd, chains=None):
+    """Hand-derived batched mass matrix and bias (Coriolis + gravity).
+
+    Equivalent to planar.mass_matrix / planar.bias_forces, assembled from
+    planar point-Jacobians instead of autodiff so every op is a full-width
+    batched scalar:
+    - M_ij  = sum_b m_b <J^com_b_i, J^com_b_j> + I_b [i,j both hinge anc]
+    - grav_j = g * sum_b m_b d(com_b_z)/dq_j
+    - Coriolis_i = sum_b m_b <J^com_b_i, a_b> with the velocity-product
+      acceleration a_b = sum_(j,c) qd_j * perp(v_com_b - v_{o_c})
+      (d/dt of perp(p - o_c) at constant qd); body angular velocities are
+      linear in qd so rotational inertia adds no Coriolis term.
+
+    Returns (M_rows [i][j] for i>=j, bias list of ndof batched scalars).
+    """
+    n = model.ndof
+    chains = chains if chains is not None else _ancestors(model)
+    hinges = _hinge_ancestors(model, chains)
+    mass = np.asarray(model.mass, np.float64)
+    inertia = np.asarray(model.inertia, np.float64)
+    com_l = np.asarray(model.com, np.float64)
+    ox, oz, cs, sn = _fk_core(model, q)
+
+    # COM positions and their Jacobian hinge columns perp(com - o_c)
+    cx = [ox[b] + cs[b] * com_l[b, 0] - sn[b] * com_l[b, 1]
+          for b in range(model.nbody)]
+    cz = [oz[b] + sn[b] * com_l[b, 0] + cs[b] * com_l[b, 1]
+          for b in range(model.nbody)]
+
+    # per body: J columns as [(dof, jx, jz), ...]; translations are constants
+    cols = []
+    for b in range(model.nbody):
+        c_b = [(0, 1.0, 0.0), (1, 0.0, 1.0)]
+        for j, c in hinges[b]:
+            c_b.append((j, -(cz[b] - oz[c]), cx[b] - ox[c]))
+        cols.append(c_b)
+
+    # ---- mass matrix (lower triangle) --------------------------------------
+    M = [[0.0] * n for _ in range(n)]
+    for b in range(model.nbody):
+        m_b = mass[b]
+        for a_i, (i, aix, aiz) in enumerate(cols[b]):
+            for (j, ajx, ajz) in cols[b][: a_i + 1]:
+                lo, hi = (j, i) if i >= j else (i, j)
+                M[hi][lo] = M[hi][lo] + m_b * (aix * ajx + aiz * ajz)
+        hdofs = [j for j, _ in hinges[b]]
+        for a_i, i in enumerate(hdofs):
+            for j in hdofs[: a_i + 1]:
+                lo, hi = (j, i) if i >= j else (i, j)
+                M[hi][lo] = M[hi][lo] + inertia[b]
+    for i in range(n):
+        for j in range(i):
+            M[j][i] = M[i][j]
+
+    # ---- velocities of joint origins and COMs ------------------------------
+    def point_vel(px_, pz_, hinge_list):
+        vx, vz = qd[0], qd[1]
+        for j, c in hinge_list:
+            vx = vx - qd[j] * (pz_ - oz[c])
+            vz = vz + qd[j] * (px_ - ox[c])
+        return vx, vz
+
+    vox, voz = [], []
+    for b in range(model.nbody):
+        if b == 0:
+            vox.append(qd[0])
+            voz.append(qd[1])
+        else:
+            # the joint pivot moves with the PARENT body's chain
+            vx, vz = point_vel(ox[b], oz[b], hinges[model.parent[b]])
+            vox.append(vx)
+            voz.append(vz)
+
+    # ---- bias: Coriolis/centrifugal + gravity ------------------------------
+    bias = [0.0] * n
+    g = float(model.gravity)
+    for b in range(model.nbody):
+        m_b = mass[b]
+        vcx, vcz = point_vel(cx[b], cz[b], hinges[b])
+        ax, az = 0.0, 0.0
+        for j, c in hinges[b]:
+            ax = ax - qd[j] * (vcz - voz[c])
+            az = az + qd[j] * (vcx - vox[c])
+        bias[0] = bias[0] + m_b * ax
+        bias[1] = bias[1] + m_b * (az + g)   # gravity: dV/dq_z = g * m_b
+        for j, c in hinges[b]:
+            jx = -(cz[b] - oz[c])
+            jz = cx[b] - ox[c]
+            bias[j] = bias[j] + m_b * (jx * ax + jz * (az + g))
+    return M, bias
+
+
+def _contact_tau(model: PlanarModel, q, qd, chains):
+    """Generalized contact forces as a list of ndof batched scalars.
+
+    Planar point-Jacobian: for hinge dof j (joint at body c's origin o_c),
+    dp/dq_j = perp(p - o_c) = (-(p_z - o_cz), p_x - o_cx); root translations
+    contribute identity columns. Velocities are J qd, generalized forces
+    J^T f — both assembled from the same (p - o_c) differences.
+    """
+    ox, oz, ang, px, pz = _fk_batched(model, q)
+    radius = np.asarray(model.geom_radius, np.float64)
+    tau = [0.0] * model.ndof
+    for g, b in enumerate(model.geom_body):
+        # hinge ancestors of the geom's body: root rotation + joint chain
+        hinges = [(2, 0)] + [(model.dof_of_body(c), c) for c in chains[b] if c != 0]
+        # geom point velocity via J qd
+        vx = qd[0]
+        vz = qd[1]
+        for j, c in hinges:
+            dx = px[g] - ox[c]
+            dz = pz[g] - oz[c]
+            vx = vx - qd[j] * dz
+            vz = vz + qd[j] * dx
+        # penalty contact force (identical formulas to planar.contact_forces)
+        phi = pz[g] - radius[g]
+        fn = jnp.maximum(0.0, -model.contact_kp * phi - model.contact_kd * vz)
+        fn = jnp.minimum(fn, model.contact_fmax)
+        fn = jnp.where(phi < 0.0, fn, 0.0)
+        ft = -jnp.clip(model.friction_kt * vx,
+                       -model.friction_mu * fn, model.friction_mu * fn)
+        # J^T f accumulation
+        tau[0] = tau[0] + ft
+        tau[1] = tau[1] + fn
+        for j, c in hinges:
+            dx = px[g] - ox[c]
+            dz = pz[g] - oz[c]
+            tau[j] = tau[j] + (-dz * ft + dx * fn)
+    return tau
+
+
+def _spring_tau(model: PlanarModel, q):
+    stiffness = np.asarray(model.stiffness, np.float64)
+    springref = np.asarray(model.springref, np.float64)
+    lo = np.asarray(model.limit_lo, np.float64)
+    hi = np.asarray(model.limit_hi, np.float64)
+    tau = []
+    for j in range(model.ndof):
+        t = -stiffness[j] * (q[j] - springref[j])
+        if np.isfinite(hi[j]):
+            t = t - model.limit_stiffness * jnp.maximum(q[j] - hi[j], 0.0)
+        if np.isfinite(lo[j]):
+            t = t + model.limit_stiffness * jnp.maximum(lo[j] - q[j], 0.0)
+        tau.append(t)
+    return tau
+
+
+def _damping_rows(model: PlanarModel, q):
+    """Implicit per-dof damping coefficients (planar.damping_diagonal)."""
+    damping = np.asarray(model.damping, np.float64)
+    lo = np.asarray(model.limit_lo, np.float64)
+    hi = np.asarray(model.limit_hi, np.float64)
+    out = []
+    for j in range(model.ndof):
+        d = damping[j]
+        if np.isfinite(hi[j]) or np.isfinite(lo[j]):
+            viol = (q[j] > hi[j]) | (q[j] < lo[j])
+            d = d + jnp.where(viol, model.limit_damping, 0.0)
+        else:
+            d = d + jnp.zeros_like(q[j])
+        out.append(d)
+    return out
+
+
+def _cholesky_rows(A_rows, n: int):
+    """Cholesky on batched scalars; A_rows[i][j] are [*B] arrays."""
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A_rows[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-9))
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def _chol_solve_rows(L, b, n: int):
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def step_batched(model: PlanarModel, Q, QD, CTRL):
+    """Population-batched control step, numerics-equivalent to
+    ``vmap(planar.step)``. Q, QD: [P, ndof]; CTRL: [P, n_act]. P must be a
+    multiple of 8 (callers pad); returns (Q_new, QD_new) in the same layout.
+    """
+    n = model.ndof
+    P = Q.shape[0]
+    assert P % 8 == 0, "population must be a multiple of 8"
+    B = (8, P // 8)
+    chains = _ancestors(model)
+    dt_sub = model.dt / model.n_substeps
+
+    # ---- one relayout into batched-scalar land -----------------------------
+    def rows(x):  # [P, d] -> list of d [8, L] batched scalars
+        xt = jnp.transpose(x)  # [d, P]
+        return [xt[i].reshape(B) for i in range(x.shape[1])]
+
+    q = rows(Q)
+    qd = rows(QD)
+
+    # ---- once-per-control-step terms, all batched-scalar -------------------
+    M_rows, bias_r = mass_bias_batched(model, q, qd, chains)
+    D = _damping_rows(model, q)
+    A_rows = [[(M_rows[i][j] + dt_sub * D[i] + 1e-6) if i == j else M_rows[i][j]
+               for j in range(n)] for i in range(n)]
+    L = _cholesky_rows(A_rows, n)
+
+    # actuation as ndof batched scalars
+    gear = np.asarray(model.gear, np.float64)
+    ctrl_cols = rows(CTRL)
+    tau_ctrl = [0.0] * n
+    for a_i, dof in enumerate(model.actuator_dof):
+        tau_ctrl[dof] = gear[a_i] * ctrl_cols[a_i]
+
+    omega_max = float(model.motor_omega_max)
+    finite_motor = np.isfinite(omega_max)
+
+    def substep(carry, _):
+        q, qd = carry
+        tau_c = _contact_tau(model, q, qd, chains)
+        tau_s = _spring_tau(model, q)
+        rhs = []
+        for j in range(n):
+            t = tau_ctrl[j]
+            if finite_motor and not isinstance(t, float):
+                speed = jnp.clip(1.0 - qd[j] * jnp.sign(t) / omega_max, 0.0, 1.0)
+                t = t * speed
+            rhs.append(t + tau_s[j] + tau_c[j] - bias_r[j])
+        # b = M qd + dt * rhs
+        b = []
+        for i in range(n):
+            s = dt_sub * rhs[i]
+            for j in range(n):
+                s = s + M_rows[i][j] * qd[j]
+            b.append(s)
+        qd_new = _chol_solve_rows(L, b, n)
+        qd_new = [jnp.clip(v, -model.max_qd, model.max_qd) for v in qd_new]
+        q_new = [q[j] + dt_sub * qd_new[j] for j in range(n)]
+        return (q_new, qd_new), None
+
+    (q, qd), _ = jax.lax.scan(substep, (q, qd), None, length=model.n_substeps)
+
+    Q_new = jnp.stack([v.reshape(P) for v in q], axis=1)
+    QD_new = jnp.stack([v.reshape(P) for v in qd], axis=1)
+    return Q_new, QD_new

@@ -192,7 +192,10 @@ def contact_forces(model: PlanarModel, q, qd):
     radius = jnp.asarray(model.geom_radius, jnp.float32)
 
     geom_fn = lambda q_: fk(model, q_)[2]
-    pts, vel = jax.jvp(geom_fn, (q,), (qd,))
+    # one linearization serves both the velocity (J qd) and the generalized
+    # force (J^T f) — jvp + vjp would run the fk forward pass twice
+    pts, lin = jax.linearize(geom_fn, q)
+    vel = lin(qd)
     phi = pts[:, 1] - radius                       # signed distance to ground
     in_contact = phi < 0.0
     fn = jnp.maximum(0.0, -model.contact_kp * phi - model.contact_kd * vel[:, 1])
@@ -202,8 +205,8 @@ def contact_forces(model: PlanarModel, q, qd):
                    -model.friction_mu * fn, model.friction_mu * fn)
     force = jnp.stack([ft, fn], axis=-1)           # [G,2]
 
-    _, vjp_fn = jax.vjp(geom_fn, q)
-    return vjp_fn(force)[0]
+    lin_t = jax.linear_transpose(lin, q)
+    return lin_t(force)[0]
 
 
 def fluid_drag_forces(model: PlanarModel, q, qd):

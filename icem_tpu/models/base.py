@@ -64,7 +64,9 @@ def rollout_open_loop(predict_fn: PredictFn, model_state, obs, actions) -> Traje
         obs = jnp.broadcast_to(obs, (p,) + obs.shape)
         model_state = broadcast_model_state(model_state, p)
 
-    step = jax.vmap(predict_fn)
+    # population-native predictors (e.g. the planar-engine fast path with the
+    # population on the VPU lanes) ride along as a ``.batched`` attribute
+    step = getattr(predict_fn, "batched", None) or jax.vmap(predict_fn)
     actions_tm = jnp.swapaxes(actions, 0, 1)  # [h, p, d] time-major
 
     def body(carry, a_t):

@@ -27,9 +27,20 @@ class GroundTruthModel(ForwardModel):
     def __init__(self, *, env, **kwargs):
         super().__init__(env=env)
 
-    def predict_fn(self, model_state, obs, action):
-        next_state, next_obs, reward, _ = self.env.step(model_state, action)
-        return next_state, next_obs, reward
+        # instance-attribute closure (shadows the method) so the population-
+        # batched fast path travels WITH the function: rollout_open_loop picks
+        # up ``.batched`` and skips the per-trajectory vmap when the env has a
+        # population-native step (envs/planar_base.py)
+        def _predict(model_state, obs, action):
+            next_state, next_obs, reward, _ = env.step(model_state, action)
+            return next_state, next_obs, reward
+
+        def _predict_batched(model_states, obs, actions):
+            next_states, next_obs, rewards, _ = env.step_batched(model_states, actions)
+            return next_states, next_obs, rewards
+
+        _predict.batched = _predict_batched
+        self.predict_fn = _predict
 
     def init_model_state(self, observation, env_state=None):
         """Use the real env state when given, else reconstruct from the

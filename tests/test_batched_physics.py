@@ -1,0 +1,108 @@
+"""Population-batched physics path (envs/physics/batched.py) equivalence.
+
+The batched engine re-derives mass matrix / gravity / Coriolis / contact
+Jacobians analytically in a VPU-native layout; it must agree with the
+autodiff per-trajectory engine to f32 roundoff on the per-control-step
+terms, and to integrator-amplified roundoff on full steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icem_tpu.envs import env_from_string
+from icem_tpu.envs.physics import batched, planar
+
+ENVS = [
+    ("HalfCheetah", {"exclude_current_positions_from_observation": True}),
+    ("Hopper", {"exclude_current_positions_from_observation": False}),
+    ("Ant", {"exclude_current_positions_from_observation": False}),
+]
+
+
+def _rows(X):
+    P, d = X.shape
+    return [X.T[i].reshape(8, P // 8) for i in range(d)]
+
+
+def _unrows(rows, P):
+    return np.stack([np.broadcast_to(np.asarray(r, np.float32), (8, P // 8)).reshape(P)
+                     for r in rows], axis=1)
+
+
+@pytest.mark.parametrize("name,kwargs", ENVS, ids=[n for n, _ in ENVS])
+def test_mass_and_bias_match_autodiff(name, kwargs):
+    env = env_from_string(name, **kwargs)
+    model = env.model
+    n = model.ndof
+    P = 64
+    Q = jax.random.normal(jax.random.key(0), (P, n)) * 0.1
+    QD = jax.random.normal(jax.random.key(1), (P, n)) * 0.3
+
+    M_rows, bias_rows = batched.mass_bias_batched(model, _rows(Q), _rows(QD))
+    M_hand = np.stack([_unrows(M_rows[i], P) for i in range(n)], axis=1)
+    bias_hand = _unrows(bias_rows, P)
+
+    M_ref = np.asarray(jax.vmap(lambda q: planar.mass_matrix(model, q))(Q))
+    bias_ref = np.asarray(jax.vmap(
+        lambda q, qd: planar.bias_forces(model, q, qd))(Q, QD))
+
+    scale = max(1.0, np.abs(M_ref).max())
+    np.testing.assert_allclose(M_hand, M_ref, atol=2e-5 * scale)
+    bscale = max(1.0, np.abs(bias_ref).max())
+    np.testing.assert_allclose(bias_hand, bias_ref, atol=2e-4 * bscale)
+
+
+@pytest.mark.parametrize("name,kwargs", ENVS, ids=[n for n, _ in ENVS])
+def test_step_batched_matches_vmap(name, kwargs):
+    env = env_from_string(name, **kwargs)
+    model = env.model
+    n = model.ndof
+    P = 64
+    Q = jax.random.normal(jax.random.key(2), (P, n)) * 0.05
+    QD = jax.random.normal(jax.random.key(3), (P, n)) * 0.1
+    C = jax.random.uniform(jax.random.key(4), (P, env.action_dim),
+                           minval=-1, maxval=1)
+    q1, qd1 = jax.jit(jax.vmap(lambda q, qd, c: planar.step(model, q, qd, c)))(Q, QD, C)
+    Q2, QD2 = jax.jit(lambda a, b, c: batched.step_batched(model, a, b, c))(Q, QD, C)
+    # stiff contacts amplify f32 roundoff over n_substeps; positions stay tight
+    np.testing.assert_allclose(np.asarray(Q2), np.asarray(q1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(QD2), np.asarray(qd1), atol=8e-2)
+
+
+def test_env_step_batched_agrees_with_vmapped_step():
+    env = env_from_string("HalfCheetah",
+                          exclude_current_positions_from_observation=True)
+    P = 64
+    states = jax.random.normal(jax.random.key(5), (P, 18)) * 0.05
+    actions = jax.random.uniform(jax.random.key(6), (P, 6), minval=-1, maxval=1)
+    ns_b, obs_b, rew_b, done_b = jax.jit(env.step_batched)(states, actions)
+    ns_v, obs_v, rew_v, done_v = jax.jit(jax.vmap(env.step))(states, actions)
+    np.testing.assert_allclose(np.asarray(ns_b), np.asarray(ns_v), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(rew_b), np.asarray(rew_v), atol=5e-2)
+    np.testing.assert_array_equal(np.asarray(done_b), np.asarray(done_v))
+
+
+def test_step_batched_pads_odd_population():
+    """Populations not divisible by 8 go through the padding path."""
+    env = env_from_string("HalfCheetah",
+                          exclude_current_positions_from_observation=True)
+    env.batched_min_pop = 1  # force the fast path even at P=67
+    P = 67
+    states = jax.random.normal(jax.random.key(7), (P, 18)) * 0.05
+    actions = jax.random.uniform(jax.random.key(8), (P, 6), minval=-1, maxval=1)
+    ns, obs, rew, done = jax.jit(env.step_batched)(states, actions)
+    assert ns.shape == (P, 18) and rew.shape == (P,)
+    assert np.all(np.isfinite(np.asarray(ns)))
+
+
+def test_swimmer_falls_back_to_vmap():
+    env = env_from_string("swimmer", task_name="swimmer6")
+    assert not batched.supports_batched(env.model)  # fluid drag -> vmap path
+    P = 16
+    key = jax.random.key(9)
+    states = jnp.stack([env.init_state(k) for k in jax.random.split(key, P)])
+    actions = jnp.zeros((P, env.action_dim))
+    ns, obs, rew, done = env.step_batched(states, actions)
+    assert ns.shape == states.shape
