@@ -274,19 +274,23 @@ def _cholesky_rows(A_rows, n: int):
     return L
 
 
-def _chol_solve_rows(L, b, n: int):
+def _chol_solve_rows(L, b, n: int, Ldiag_inv=None):
+    """Solve L L^T x = b. Pass precomputed 1/diag(L) so the per-substep
+    solves are multiply-only (divisions cost several VPU cycles each)."""
+    if Ldiag_inv is None:
+        Ldiag_inv = [1.0 / L[i][i] for i in range(n)]
     y = [None] * n
     for i in range(n):
         s = b[i]
         for k in range(i):
             s = s - L[i][k] * y[k]
-        y[i] = s / L[i][i]
+        y[i] = s * Ldiag_inv[i]
     x = [None] * n
     for i in reversed(range(n)):
         s = y[i]
         for k in range(i + 1, n):
             s = s - L[k][i] * x[k]
-        x[i] = s / L[i][i]
+        x[i] = s * Ldiag_inv[i]
     return x
 
 
@@ -316,6 +320,7 @@ def step_batched(model: PlanarModel, Q, QD, CTRL):
     A_rows = [[(M_rows[i][j] + dt_sub * D[i] + 1e-6) if i == j else M_rows[i][j]
                for j in range(n)] for i in range(n)]
     L = _cholesky_rows(A_rows, n)
+    Ldiag_inv = [1.0 / L[i][i] for i in range(n)]
 
     # actuation as ndof batched scalars
     gear = np.asarray(model.gear, np.float64)
@@ -345,7 +350,7 @@ def step_batched(model: PlanarModel, Q, QD, CTRL):
             for j in range(n):
                 s = s + M_rows[i][j] * qd[j]
             b.append(s)
-        qd_new = _chol_solve_rows(L, b, n)
+        qd_new = _chol_solve_rows(L, b, n, Ldiag_inv)
         qd_new = [jnp.clip(v, -model.max_qd, model.max_qd) for v in qd_new]
         q_new = [q[j] + dt_sub * qd_new[j] for j in range(n)]
         return (q_new, qd_new), None

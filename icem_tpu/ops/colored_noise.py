@@ -21,8 +21,35 @@ one compiled planner serves all noise colors.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# horizons are tens of steps; a dense DFT-synthesis matmul (MXU) beats the
+# generic FFT lowering by a wide margin at these sizes
+_MATMUL_IRFFT_MAX_N = 512
+
+
+@lru_cache(maxsize=None)
+def _irfft_synthesis_matrices(n: int):
+    """Real matrices (C, D) with irfft(S, n) = Re(S) @ C + Im(S) @ D.
+
+    Standard inverse-rFFT synthesis: y[t] = (1/n) * [S_0 + 2 * sum_{k=1}
+    (Re S_k cos(2 pi k t / n) - Im S_k sin(...)) + (even n) S_{n/2} cos(pi t)].
+    """
+    nf = n // 2 + 1
+    k = np.arange(nf)[:, None]
+    t = np.arange(n)[None, :]
+    ang = 2.0 * np.pi * k * t / n
+    coef = np.full((nf, 1), 2.0)
+    coef[0] = 1.0
+    if n % 2 == 0 and n > 1:
+        coef[-1] = 1.0
+    C = (coef * np.cos(ang) / n).astype(np.float32)
+    D = (-coef * np.sin(ang) / n).astype(np.float32)
+    return jnp.asarray(C), jnp.asarray(D)
 
 
 def powerlaw_spectrum_scale(n: int, beta, fmin: float = 0.0, dtype=jnp.float32):
@@ -76,8 +103,15 @@ def shape_white_spectrum(white_real, white_imag, beta, n: int, fmin: float = 0.0
         imag_mask = imag_mask & (bin_idx != nbins - 1)
     si = si * imag_mask.astype(dtype)
 
-    spectrum = jax.lax.complex(sr.astype(jnp.float32), si.astype(jnp.float32))
-    y = jnp.fft.irfft(spectrum, n=n, axis=-1).astype(dtype)
+    if n <= _MATMUL_IRFFT_MAX_N:
+        C, D = _irfft_synthesis_matrices(n)
+        y = (jnp.matmul(sr.astype(jnp.float32), C,
+                        preferred_element_type=jnp.float32)
+             + jnp.matmul(si.astype(jnp.float32), D,
+                          preferred_element_type=jnp.float32)).astype(dtype)
+    else:
+        spectrum = jax.lax.complex(sr.astype(jnp.float32), si.astype(jnp.float32))
+        y = jnp.fft.irfft(spectrum, n=n, axis=-1).astype(dtype)
     return y / sigma.astype(dtype)
 
 
