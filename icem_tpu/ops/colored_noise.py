@@ -47,9 +47,12 @@ def _irfft_synthesis_matrices(n: int):
     coef[0] = 1.0
     if n % 2 == 0 and n > 1:
         coef[-1] = 1.0
+    # return NUMPY arrays: a jnp conversion here would be staged by whichever
+    # trace calls first and the cache would leak that trace's tracer into
+    # later traces — constants must be lifted fresh per trace
     C = (coef * np.cos(ang) / n).astype(np.float32)
     D = (-coef * np.sin(ang) / n).astype(np.float32)
-    return jnp.asarray(C), jnp.asarray(D)
+    return C, D
 
 
 def powerlaw_spectrum_scale(n: int, beta, fmin: float = 0.0, dtype=jnp.float32):
