@@ -31,7 +31,9 @@ def main():
 
     # production-scale population: same decay structure as i-cem-blitz
     # (N, gamma=1.25, 3 iters), scaled up to use the chip
-    POP = int(os.environ.get("BENCH_POP", 4096))
+    # largest power-of-two population whose full plan step still fits the
+    # reference's real-time budget (env dt = 50 ms) on one v5e chip
+    POP = int(os.environ.get("BENCH_POP", 8192))
     PLAN_STEPS = int(os.environ.get("BENCH_STEPS", 10))
     HORIZON = 30
 
