@@ -32,8 +32,9 @@ def main():
     # production-scale population: same decay structure as i-cem-blitz
     # (N, gamma=1.25, 3 iters), scaled up to use the chip
     # largest power-of-two population whose full plan step still fits the
-    # reference's real-time budget (env dt = 50 ms) on one v5e chip
-    POP = int(os.environ.get("BENCH_POP", 8192))
+    # reference's real-time budget (env dt = 50 ms) on one v5e chip with
+    # margin (~24 ms measured with the Pallas rollout kernel)
+    POP = int(os.environ.get("BENCH_POP", 32768))
     PLAN_STEPS = int(os.environ.get("BENCH_STEPS", 10))
     HORIZON = 30
 

@@ -294,25 +294,26 @@ def _chol_solve_rows(L, b, n: int, Ldiag_inv=None):
     return x
 
 
-def step_batched(model: PlanarModel, Q, QD, CTRL):
-    """Population-batched control step, numerics-equivalent to
-    ``vmap(planar.step)``. Q, QD: [P, ndof]; CTRL: [P, n_act]. P must be a
-    multiple of 8 (callers pad); returns (Q_new, QD_new) in the same layout.
+def rows_from_cols(X, B):
+    """[P, d] -> list of d [*B] batched scalars (one relayout)."""
+    xt = jnp.transpose(X)
+    return [xt[i].reshape(B) for i in range(X.shape[1])]
+
+
+def cols_from_rows(rows, P):
+    """list of d [*B] batched scalars -> [P, d]."""
+    return jnp.stack([jnp.reshape(v, (P,)) for v in rows], axis=1)
+
+
+def step_rows(model: PlanarModel, q, qd, ctrl_rows, chains=None):
+    """One control step on batched-scalar rows (the layout-free core).
+
+    q, qd: lists of ndof [*B] arrays; ctrl_rows: list of n_act [*B] arrays.
+    Returns (q_new, qd_new) row lists. Numerics identical to planar.step.
     """
     n = model.ndof
-    P = Q.shape[0]
-    assert P % 8 == 0, "population must be a multiple of 8"
-    B = (8, P // 8)
-    chains = _ancestors(model)
+    chains = chains if chains is not None else _ancestors(model)
     dt_sub = model.dt / model.n_substeps
-
-    # ---- one relayout into batched-scalar land -----------------------------
-    def rows(x):  # [P, d] -> list of d [8, L] batched scalars
-        xt = jnp.transpose(x)  # [d, P]
-        return [xt[i].reshape(B) for i in range(x.shape[1])]
-
-    q = rows(Q)
-    qd = rows(QD)
 
     # ---- once-per-control-step terms, all batched-scalar -------------------
     M_rows, bias_r = mass_bias_batched(model, q, qd, chains)
@@ -324,10 +325,9 @@ def step_batched(model: PlanarModel, Q, QD, CTRL):
 
     # actuation as ndof batched scalars
     gear = np.asarray(model.gear, np.float64)
-    ctrl_cols = rows(CTRL)
     tau_ctrl = [0.0] * n
     for a_i, dof in enumerate(model.actuator_dof):
-        tau_ctrl[dof] = gear[a_i] * ctrl_cols[a_i]
+        tau_ctrl[dof] = gear[a_i] * ctrl_rows[a_i]
 
     omega_max = float(model.motor_omega_max)
     finite_motor = np.isfinite(omega_max)
@@ -355,8 +355,21 @@ def step_batched(model: PlanarModel, Q, QD, CTRL):
         q_new = [q[j] + dt_sub * qd_new[j] for j in range(n)]
         return (q_new, qd_new), None
 
-    (q, qd), _ = jax.lax.scan(substep, (q, qd), None, length=model.n_substeps)
+    # fori_loop (not scan): this body also runs inside Pallas kernels, where
+    # fori lowers directly to a hardware loop
+    (q, qd) = jax.lax.fori_loop(
+        0, model.n_substeps, lambda _, c: substep(c, None)[0], (q, qd))
+    return q, qd
 
-    Q_new = jnp.stack([v.reshape(P) for v in q], axis=1)
-    QD_new = jnp.stack([v.reshape(P) for v in qd], axis=1)
-    return Q_new, QD_new
+
+def step_batched(model: PlanarModel, Q, QD, CTRL):
+    """Population-batched control step, numerics-equivalent to
+    ``vmap(planar.step)``. Q, QD: [P, ndof]; CTRL: [P, n_act]. P must be a
+    multiple of 8 (callers pad); returns (Q_new, QD_new) in the same layout.
+    """
+    P = Q.shape[0]
+    assert P % 8 == 0, "population must be a multiple of 8"
+    B = (8, P // 8)
+    q, qd = rows_from_cols(Q, B), rows_from_cols(QD, B)
+    q, qd = step_rows(model, q, qd, rows_from_cols(CTRL, B))
+    return cols_from_rows(q, P), cols_from_rows(qd, P)

@@ -69,3 +69,72 @@ class PlanarEnv(Env):
         new_states = jnp.concatenate([Q2, QD2, states[:, 2 * nd:]], axis=1)
         obs, rewards, dones = jax.vmap(self._post_step)(states, new_states, acts)
         return new_states, obs, rewards, dones
+
+    def rollout_batched(self, states, actions):
+        """Full open-loop rollout with the physics carry kept in the
+        batched-scalar row layout across the WHOLE horizon scan — one
+        relayout in, one out, instead of four per control step; obs/rewards
+        are computed afterwards in one [h*P] batch.
+
+        states: [P, S]; actions: [P, h, A]. Returns the rollout_open_loop
+        contract: (obs_seq, next_obs_seq, actions_tm, rewards, final_states)
+        with time-major [h, P, ...] sequences.
+        """
+        P, h = actions.shape[0], actions.shape[1]
+        if not (batched.supports_batched(self.model)
+                and P >= self.batched_min_pop):
+            return None  # caller falls back to the generic scan
+        nd = self.model.ndof
+        acts = jnp.clip(actions, -1.0, 1.0)
+
+        from icem_tpu.ops.planar_rollout import (
+            BLOCK, pallas_available, rollout_planar_pallas)
+        use_pallas = pallas_available() and P >= BLOCK
+
+        align = BLOCK if use_pallas else 8
+        pad = (-P) % align
+        Pp = P + pad
+        st = jnp.concatenate([states, states[-pad:]], axis=0) if pad else states
+        ap = jnp.concatenate([acts, acts[-pad:]], axis=0) if pad else acts
+
+        if use_pallas:
+            # the whole h x n_substeps rollout runs VMEM-resident in one
+            # Pallas program per trajectory block (ops/planar_rollout.py)
+            qs, qds = rollout_planar_pallas(
+                self.model, st[:, :nd], st[:, nd: 2 * nd], ap)
+            qs, qds = qs[:, :P], qds[:, :P]
+        else:
+            B = (8, Pp // 8)
+            q = batched.rows_from_cols(st[:, :nd], B)
+            qd = batched.rows_from_cols(st[:, nd: 2 * nd], B)
+            # [Pp, h, A] -> per-step row lists via one relayout: [h, A, 8, L]
+            a_rows_tm = jnp.transpose(ap, (1, 2, 0)).reshape(
+                (h, ap.shape[2]) + B)
+            chains = batched._ancestors(self.model)
+
+            def body(carry, a_t):
+                q_, qd_ = carry
+                a_list = [a_t[i] for i in range(a_t.shape[0])]
+                q2, qd2 = batched.step_rows(self.model, q_, qd_, a_list, chains)
+                return (q2, qd2), (jnp.stack(q2), jnp.stack(qd2))
+
+            (qf, qdf), (qs, qds) = jax.lax.scan(body, (q, qd), a_rows_tm)
+            # [h, nd, 8, L] -> [h, P, nd] (one relayout per tensor)
+            qs = jnp.transpose(qs.reshape(h, nd, Pp), (0, 2, 1))[:, :P]
+            qds = jnp.transpose(qds.reshape(h, nd, Pp), (0, 2, 1))[:, :P]
+        extra = states[:, 2 * nd:]
+        extra_seq = jnp.broadcast_to(extra, (h,) + extra.shape)
+        next_states = jnp.concatenate([qs, qds, extra_seq], axis=2)
+        prev_states = jnp.concatenate([states[None], next_states[:-1]], axis=0)
+        final_states = next_states[-1]
+
+        acts_tm = jnp.swapaxes(acts, 0, 1)  # [h, P, A]
+        S, A_dim = states.shape[1], acts.shape[2]
+        post = jax.vmap(self._post_step)
+        next_obs_f, rewards_f, _ = post(prev_states.reshape(h * P, S),
+                                        next_states.reshape(h * P, S),
+                                        acts_tm.reshape(h * P, A_dim))
+        obs_seq = self.observation(prev_states)
+        next_obs_seq = next_obs_f.reshape(h, P, -1)
+        rewards = rewards_f.reshape(h, P)
+        return obs_seq, next_obs_seq, acts_tm, rewards, final_states

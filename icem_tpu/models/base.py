@@ -64,6 +64,18 @@ def rollout_open_loop(predict_fn: PredictFn, model_state, obs, actions) -> Traje
         obs = jnp.broadcast_to(obs, (p,) + obs.shape)
         model_state = broadcast_model_state(model_state, p)
 
+    # whole-horizon fast path (planar GT envs): the physics carry stays in
+    # its VPU-native layout across the scan; falls through when the shape or
+    # model doesn't qualify (decided statically at trace time)
+    whole = getattr(predict_fn, "rollout", None)
+    if whole is not None:
+        out = whole(model_state, actions)
+        if out is not None:
+            obs_seq, next_obs_seq, actions_tm, rewards, final_ms = out
+            return TrajectoryBatch(
+                observations=obs_seq, next_observations=next_obs_seq,
+                actions=actions_tm, rewards=rewards, final_model_state=final_ms)
+
     # population-native predictors (e.g. the planar-engine fast path with the
     # population on the VPU lanes) ride along as a ``.batched`` attribute
     step = getattr(predict_fn, "batched", None) or jax.vmap(predict_fn)

@@ -40,6 +40,11 @@ class GroundTruthModel(ForwardModel):
             return next_states, next_obs, rewards
 
         _predict.batched = _predict_batched
+        if hasattr(env, "rollout_batched"):
+            # whole-horizon fast path: physics carry stays in the VPU row
+            # layout across the scan (envs/planar_base.py); returns None at
+            # trace time when the population/model doesn't qualify
+            _predict.rollout = env.rollout_batched
         self.predict_fn = _predict
 
     def init_model_state(self, observation, env_state=None):

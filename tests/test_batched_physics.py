@@ -106,3 +106,28 @@ def test_swimmer_falls_back_to_vmap():
     actions = jnp.zeros((P, env.action_dim))
     ns, obs, rew, done = env.step_batched(states, actions)
     assert ns.shape == states.shape
+
+
+def test_whole_horizon_rollout_matches_stepwise():
+    """rollout_batched (layout-persistent scan) vs per-step step_batched."""
+    env = env_from_string("HalfCheetah",
+                          exclude_current_positions_from_observation=True)
+    P, H = 68, 6  # not a multiple of 8: exercises the padding path
+    env.batched_min_pop = 1
+    states = jax.random.normal(jax.random.key(0), (P, 18)) * 0.05
+    actions = jax.random.uniform(jax.random.key(1), (P, H, 6), minval=-1, maxval=1)
+
+    out = jax.jit(env.rollout_batched)(states, actions)
+    assert out is not None
+    obs_seq, next_obs_seq, acts_tm, rewards, final_states = out
+
+    # stepwise reference using the same batched physics core
+    s = states
+    for t in range(H):
+        s2, ob, rew, _ = env.step_batched(s, actions[:, t])
+        np.testing.assert_allclose(np.asarray(next_obs_seq[t]), np.asarray(ob),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(rewards[t]), np.asarray(rew),
+                                   atol=5e-3)
+        s = s2
+    np.testing.assert_allclose(np.asarray(final_states), np.asarray(s), atol=2e-3)
