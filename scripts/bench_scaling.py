@@ -36,7 +36,8 @@ def bench_devices(n_dev, pop, steps=5):
                       penalise_flipping=True)
     predict_fn = GroundTruthModel(env=env).predict_fn
     cfg = ic.ICemConfig(
-        horizon=30, num_simulated_trajectories=pop, factor_decrease_num=1.25,
+        horizon=int(os.environ.get("BENCH_HORIZON", 30)),
+        num_simulated_trajectories=pop, factor_decrease_num=1.25,
         noise_beta=0.25, elites_size=max(10, pop // 64),
         action_dim=6, action_low=(-1.0,) * 6, action_high=(1.0,) * 6)
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("pop",))
@@ -61,7 +62,15 @@ def bench_devices(n_dev, pop, steps=5):
 
 
 def main():
+    # honor a JAX_PLATFORMS request before backend init (the TPU plugin in
+    # some images overrides the env var at import time)
+    env_platform = os.environ.get("JAX_PLATFORMS") or os.environ.get("JAX_PLATFORM_NAME")
     import jax
+    if env_platform:
+        try:
+            jax.config.update("jax_platforms", env_platform)
+        except RuntimeError:
+            pass
     n_all = len(jax.devices())
     n_max = int(os.environ.get("BENCH_DEVICES", n_all))
     pop = int(os.environ.get("BENCH_POP", 4096))
