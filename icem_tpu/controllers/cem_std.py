@@ -221,7 +221,7 @@ class MpcCemStd:
         from icem_tpu.runtime.seeding import Seeding
 
         key = jax.random.key(self._seed) if self._seed is not None \
-            else Seeding.key_for(f"controller/{id(self)}")
+            else Seeding.next_key("controller/cem-std")
         self._pstate = init_state(self.cfg, key)
         self._model_state = self.forward_model.got_actual_observation_and_env_state(
             observation=observation, env_state=state, model_state=None)

@@ -45,7 +45,7 @@ class RndController:
         self.action_change_frequency = int(action_change_frequency)
         from icem_tpu.runtime.seeding import Seeding
         self._key = jax.random.key(seed) if seed is not None \
-            else Seeding.key_for(f"rnd/{id(self)}")
+            else Seeding.next_key("controller/rnd")
         self._counter = 0
         self._current = None
 
@@ -127,7 +127,7 @@ class MpcRandom:
     def beginning_of_rollout(self, *, observation, state=None, mode="train"):
         from icem_tpu.runtime.seeding import Seeding
         self._key = jax.random.key(self._seed) if self._seed is not None \
-            else Seeding.key_for(f"mpcrnd/{id(self)}")
+            else Seeding.next_key("controller/mpc-random")
         self._model_state = self.forward_model.got_actual_observation_and_env_state(
             observation=observation, env_state=state, model_state=None)
 

@@ -197,10 +197,10 @@ def _contact_tau(model: PlanarModel, q, qd, chains):
     """
     ox, oz, ang, px, pz = _fk_batched(model, q)
     radius = np.asarray(model.geom_radius, np.float64)
+    all_hinges = _hinge_ancestors(model, chains)
     tau = [0.0] * model.ndof
     for g, b in enumerate(model.geom_body):
-        # hinge ancestors of the geom's body: root rotation + joint chain
-        hinges = [(2, 0)] + [(model.dof_of_body(c), c) for c in chains[b] if c != 0]
+        hinges = all_hinges[b]
         # geom point velocity via J qd
         vx = qd[0]
         vz = qd[1]
@@ -317,17 +317,22 @@ def step_rows(model: PlanarModel, q, qd, ctrl_rows, chains=None):
 
     # ---- once-per-control-step terms, all batched-scalar -------------------
     M_rows, bias_r = mass_bias_batched(model, q, qd, chains)
+    # match planar.step exactly: the 1e-6 diagonal regularizer is part of M
+    # there (used in BOTH the lhs and the M @ qd product)
+    M_rows = [[(M_rows[i][j] + 1e-6) if i == j else M_rows[i][j]
+               for j in range(n)] for i in range(n)]
     D = _damping_rows(model, q)
-    A_rows = [[(M_rows[i][j] + dt_sub * D[i] + 1e-6) if i == j else M_rows[i][j]
+    A_rows = [[(M_rows[i][j] + dt_sub * D[i]) if i == j else M_rows[i][j]
                for j in range(n)] for i in range(n)]
     L = _cholesky_rows(A_rows, n)
     Ldiag_inv = [1.0 / L[i][i] for i in range(n)]
 
-    # actuation as ndof batched scalars
+    # actuation as ndof batched scalars (accumulate: a dof may have several
+    # actuators, planar.actuation adds them)
     gear = np.asarray(model.gear, np.float64)
     tau_ctrl = [0.0] * n
     for a_i, dof in enumerate(model.actuator_dof):
-        tau_ctrl[dof] = gear[a_i] * ctrl_rows[a_i]
+        tau_ctrl[dof] = tau_ctrl[dof] + gear[a_i] * ctrl_rows[a_i]
 
     omega_max = float(model.motor_omega_max)
     finite_motor = np.isfinite(omega_max)

@@ -113,7 +113,7 @@ class EnsembleModel(ForwardModel):
 
         from icem_tpu.runtime.seeding import Seeding
         key = jax.random.key(seed) if seed is not None \
-            else Seeding.key_for(f"ensemble/{id(self)}")
+            else Seeding.next_key("model/ensemble")
         key, *member_keys = jax.random.split(key, self.ensemble_size + 1)
         self._key = key
         self._step_count = 0
@@ -217,8 +217,11 @@ class EnsembleModel(ForwardModel):
             if self.bootstrap:
                 idx = jax.random.randint(key, (E, used), 0, n)
             else:
-                idx = jnp.stack([jax.random.permutation(
-                    jax.random.fold_in(key, e), n)[:used] for e in range(E)])
+                # wrap the permutation when the dataset is smaller than one
+                # batch (n < used) so the reshape below stays valid
+                idx = jnp.stack([jnp.take(
+                    jax.random.permutation(jax.random.fold_in(key, e), n),
+                    jnp.arange(used) % n) for e in range(E)])
             xb = x_all[idx].reshape(E, n_batches, self.batch_size, -1)
             tb = t_all[idx].reshape(E, n_batches, self.batch_size, -1)
             # time-major for scan: [n_batches, E, B, dim]

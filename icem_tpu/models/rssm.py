@@ -95,7 +95,7 @@ class RSSMModel(ForwardModel):
 
         from icem_tpu.runtime.seeding import Seeding
         key = jax.random.key(seed) if seed is not None \
-            else Seeding.key_for(f"rssm/{id(self)}")
+            else Seeding.next_key("model/rssm")
         key, k_enc, k_gru, k_pri, k_post, k_dec, k_rew = jax.random.split(key, 7)
         self._key = key
         self._step_count = 0
@@ -197,7 +197,12 @@ class RSSMModel(ForwardModel):
             given e_t; reconstruct obs_t; reward head at t predicts r_{t-1}.
             """
             L, B = obs_seq.shape[0], obs_seq.shape[1]
-            obs_n = (obs_seq - params["obs_mu"]) / params["obs_std"]
+            # normalizers are data statistics, not trainable: without the
+            # stop_gradient the optimizer inflates the stds to shrink the
+            # normalized losses instead of fitting the model
+            obs_mu = jax.lax.stop_gradient(params["obs_mu"])
+            obs_std = jax.lax.stop_gradient(params["obs_std"])
+            obs_n = (obs_seq - obs_mu) / obs_std
             embed = jax.nn.swish(_mlp_forward(params["encoder"], obs_n))
             eps = jax.random.normal(key, (L, B, S))
 
@@ -225,7 +230,8 @@ class RSSMModel(ForwardModel):
 
             rew_pred = _mlp_forward(params["reward"],
                                     jnp.concatenate([hs, zs], axis=-1))[..., 0]
-            rew_n = (rew_seq - params["rew_mu"]) / params["rew_std"]
+            rew_n = (rew_seq - jax.lax.stop_gradient(params["rew_mu"])) \
+                / jax.lax.stop_gradient(params["rew_std"])
             # reward at t is for transition t-1 -> skip t=0
             rew_loss = 0.5 * jnp.mean((rew_pred[1:] - rew_n[:-1]) ** 2)
 
@@ -248,14 +254,32 @@ class RSSMModel(ForwardModel):
 
         return fit_step
 
+    @staticmethod
+    def _stacked_sequences(buffer):
+        """[R, T, ...] arrays from possibly ragged rollouts: early-terminated
+        episodes (runtime truncates at done) are trimmed to the common length
+        so sequence batching stays rectangular."""
+        rollouts = [r for r in buffer if len(r) >= 2]
+        if not rollouts:
+            return None
+        t_min = min(len(r) for r in rollouts)
+        try:
+            obs = np.stack([np.asarray(r["observations"][:t_min], np.float32)
+                            for r in rollouts])
+            act = np.stack([np.asarray(r["actions"][:t_min], np.float32)
+                            for r in rollouts])
+            rew = np.stack([np.asarray(r["rewards"][:t_min], np.float32)
+                            for r in rollouts])
+        except (KeyError, ValueError):
+            return None
+        return obs, act, rew
+
     def train(self, buffer):
         """Sequence-ELBO training on the rollout buffer."""
-        try:
-            obs = np.asarray(buffer.as_array("observations"), np.float32)
-            act = np.asarray(buffer.as_array("actions"), np.float32)
-            rew = np.asarray(buffer.as_array("rewards"), np.float32)
-        except (TypeError, KeyError):
+        data = self._stacked_sequences(buffer)
+        if data is None:
             return {}
+        obs, act, rew = data
         if act.ndim == 2:
             act = act[..., None]
         R, T = obs.shape[0], obs.shape[1]

@@ -42,7 +42,9 @@ def _kernel_factory(model: PlanarModel, horizon: int, n_act: int):
     cache_key = (id(model), horizon, n_act)
     cached = _KERNEL_CACHE.get(cache_key)
     if cached is not None:
-        return cached
+        return cached[0]
+    if len(_KERNEL_CACHE) > 64:  # bound growth in env-sweep processes
+        _KERNEL_CACHE.clear()
     nd = model.ndof
     chains = batched._ancestors(model)
 
@@ -64,7 +66,9 @@ def _kernel_factory(model: PlanarModel, horizon: int, n_act: int):
 
         jax.lax.fori_loop(0, horizon, control_step, (q0, qd0))
 
-    _KERNEL_CACHE[cache_key] = kernel
+    # store the model alongside: keeps id(model) valid for the cache key's
+    # lifetime (and the kernel closure needs it anyway)
+    _KERNEL_CACHE[cache_key] = (kernel, model)
     return kernel
 
 
@@ -134,6 +138,8 @@ def pallas_available() -> bool:
     except ImportError:
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        # Mosaic kernels lower only on TPU backends (GPU Pallas uses a
+        # different dialect; pltpu.VMEM specs would fail there)
+        return jax.default_backend() == "tpu"
     except RuntimeError:
         return False

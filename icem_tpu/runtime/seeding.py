@@ -26,6 +26,7 @@ class Seeding:
 
     SEED: Optional[int] = None
     _root_key = None
+    _counters: dict = {}
 
     @classmethod
     def set_seed(cls, seed: Optional[int] = None, env=None) -> int:
@@ -33,6 +34,7 @@ class Seeding:
             seed = secrets.randbits(31)
         cls.SEED = int(seed)
         cls._root_key = jax.random.key(cls.SEED)
+        cls._counters = {}
         np.random.seed(cls.SEED & 0x7FFFFFFF)
         if env is not None and hasattr(env, "seed"):
             env.seed(cls.SEED)
@@ -49,3 +51,15 @@ class Seeding:
         """A key stream independent per consumer name."""
         digest = int.from_bytes(name.encode(), "little") % (2**31 - 1)
         return jax.random.fold_in(cls.root_key(), digest)
+
+    @classmethod
+    def next_key(cls, kind: str):
+        """Deterministic key for the n-th consumer of a kind.
+
+        Run-reproducible replacement for keying on object identity (heap
+        addresses differ across runs): with a fixed seed, the i-th
+        constructed consumer of each kind always gets the same stream.
+        """
+        n = cls._counters.get(kind, 0)
+        cls._counters[kind] = n + 1
+        return cls.key_for(f"{kind}/{n}")
