@@ -194,6 +194,19 @@ class Env:
             return render_planar(model, q)
         return None
 
+    @staticmethod
+    def filter_buffers_by_cost(buffers, costs, filtered_fraction: float):
+        """Keep the lowest-cost fraction of trajectories per buffer
+        (reference: abstract_environments.py:36-47). ``buffers`` and
+        ``costs`` are parallel lists (one entry per time step); each costs
+        entry is a mapping with a 'costs' array."""
+        if filtered_fraction == 1:
+            return [buffer.flat for buffer in buffers]
+        num = int(len(costs) * filtered_fraction)
+        idxs = [np.argsort(np.asarray(c["costs"]))[:num] for c in costs]
+        return [{k: np.asarray(v)[idx] for k, v in buffer.flat.items()}
+                for buffer, idx in zip(buffers, idxs)]
+
     # -- misc --------------------------------------------------------------
     def get_fps(self) -> float:
         return 1.0 / self.dt

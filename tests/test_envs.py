@@ -178,3 +178,28 @@ def test_ant_stands_under_zero_action():
     z = float(obs[2])
     assert 0.2 < z < 1.0, f"ant fell or flew: z={z}"
     assert float(done) == 0.0
+
+
+def test_filter_buffers_by_cost():
+    """Env.filter_buffers_by_cost keeps lowest-cost trajectories
+    (abstract_environments.py:36-47)."""
+    from icem_tpu.envs.base import Env
+    from icem_tpu.runtime.buffer import Rollout, RolloutBuffer
+
+    def buf(costs):
+        rollouts = [Rollout(data=dict(observations=np.full((2, 3), c),
+                                      rewards=np.full(2, -c)))
+                    for c in costs]
+        return RolloutBuffer(rollouts=rollouts)
+
+    buffers = [buf([3.0, 1.0, 2.0, 4.0])]
+    costs = [dict(costs=np.array([3.0, 1.0, 2.0, 4.0]))]
+    # fraction 1: untouched flat views
+    out = Env.filter_buffers_by_cost(buffers, costs, 1)
+    assert len(out[0]["rewards"]) == 8
+    # keep best 50%: note the reference sizes by len(costs) (num of steps),
+    # i.e. num = int(1 * 0.5) = 0 here — mirror with 4 steps
+    buffers = buffers * 4
+    costs = costs * 4
+    out = Env.filter_buffers_by_cost(buffers, costs, 0.5)
+    assert all(len(o["rewards"]) == 2 for o in out)  # 2 lowest-cost indices
