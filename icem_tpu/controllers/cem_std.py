@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from icem_tpu.controllers.icem import top_k_ascending
 from icem_tpu.models.base import rollout_open_loop, trajectory_cost
 
 
@@ -149,7 +150,7 @@ def plan_step(cfg: CemStdConfig, predict_fn, cost_fn, pstate: CemStdState, obs,
         best_cost = costs[best_idx]
         best_last_obs = jnp.take(traj.next_observations[-1], best_idx, axis=0)
 
-        elite_idx = jnp.argsort(costs, stable=True)[: cfg.num_elites]
+        elite_idx = top_k_ascending(costs, cfg.num_elites)
         elites = jnp.take(actions, elite_idx, axis=0)
         mean = (1 - cfg.alpha) * jnp.mean(elites, axis=0) + cfg.alpha * mean
         std = (1 - cfg.alpha) * jnp.std(elites, axis=0) + cfg.alpha * std

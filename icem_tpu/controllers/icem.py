@@ -174,15 +174,25 @@ def sample_action_sequences(cfg: ICemConfig, key, mean, std, num_traj: int):
     return jnp.clip(noise * std + mean, cfg.low, cfg.high)
 
 
+def top_k_ascending(costs, k: int):
+    """Indices of the k smallest costs, ascending.
+
+    lax.top_k is far cheaper than a full argsort on TPU (the planner only
+    ever needs the K elites out of tens of thousands of candidates). For
+    distinct costs the result matches the reference's stable np.argsort
+    selection exactly; float-cost ties are measure-zero.
+    """
+    _, idx = jax.lax.top_k(-costs, k)
+    return idx
+
+
 def _refit(cfg: ICemConfig, mean, std, cand_actions, cand_costs, cand_last_obs):
     """Elite selection + alpha-momentum distribution update (icem.py:194-211).
 
-    Stable argsort matches the reference's np.argsort tie-breaking.
     Returns (mean, std, elite_actions, elite_costs, elite_last_obs).
     """
     K = cfg.num_elites
-    order = jnp.argsort(cand_costs, stable=True)
-    elite_idx = order[:K]
+    elite_idx = top_k_ascending(cand_costs, K)
     elite_actions = jnp.take(cand_actions, elite_idx, axis=0)
     elite_costs = jnp.take(cand_costs, elite_idx, axis=0)
     elite_last_obs = jnp.take(cand_last_obs, elite_idx, axis=0)

@@ -32,7 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from icem_tpu.controllers.icem import ICemConfig, ICemState, init_std
+from icem_tpu.controllers.icem import ICemConfig, ICemState, init_std, top_k_ascending
 from icem_tpu.controllers.icem import sample_action_sequences
 from icem_tpu.models.base import rollout_open_loop, trajectory_cost
 
@@ -92,7 +92,7 @@ def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
         costs = trajectory_cost(cost_fn, traj, cfg.cost_along_trajectory,
                                 cfg.use_env_reward_as_cost)
         k_local = min(K, n_local)
-        order = jnp.argsort(costs, stable=True)[:k_local]
+        order = top_k_ascending(costs, k_local)
         cand_a = jnp.take(fresh, order, axis=0)
         cand_c = jnp.take(costs, order, axis=0)
         cand_o = jnp.take(traj.next_observations[-1], order, axis=0)
@@ -157,7 +157,7 @@ def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
         best_cost = cand_c[best_idx]
         best_last_obs = jnp.take(cand_o, best_idx, axis=0)
 
-        order = jnp.argsort(cand_c, stable=True)[:K]
+        order = top_k_ascending(cand_c, K)
         elite_actions = jnp.take(cand_a, order, axis=0)
         elite_costs = jnp.take(cand_c, order, axis=0)
         elite_last_obs = jnp.take(cand_o, order, axis=0)
