@@ -95,3 +95,18 @@ def test_diamond_inheritance_resolves_once(tmp_path):
     assert p.g == 1
     # earlier inherits_from entries win over later ones (reference semantics)
     assert p.v == "p1"
+
+
+def test_shipped_settings_resolve_expected_models():
+    """Guard against the deeper-ancestor-wins quirk clobbering leaf configs
+    in the shipped settings tree."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    s = lambda *p: os.path.join(repo, "settings", *p)
+    assert resolve_settings(s("planet", "cartpole_swingup.json")).forward_model == "RSSM"
+    assert resolve_settings(s("pendulum", "ensemble-icem.json")).forward_model == "EnsembleModel"
+    p = resolve_settings(s("halfcheetah_running", "i-cem-blitz.json"))
+    assert p.forward_model == "ParallelGroundTruthModel"
+    assert p.controller == "mpc-icem"
+    assert p.env == "HalfCheetah"
+    hop = resolve_settings(s("hopper", "i-cem-blitz.json"))
+    assert hop.controller_params.action_sampler_params.noise_beta == 2.5
