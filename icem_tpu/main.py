@@ -125,12 +125,15 @@ def run(params) -> dict:
                 cpm.save_reward_dict(reward_info_full)
                 cpm.finalized_checkpoint()
 
-    do_initial_rollouts = (initial_controller is not None
-                           and params.get("initial_number_of_rollouts", 0) > 0)
-    if cpm.were_buffers_loaded:
-        do_initial_rollouts = False
+    # whether iteration 0 is an initial-controller iteration is a property of
+    # the CONFIG; resuming with loaded buffers only skips RE-collecting that
+    # data, it must not shrink the total iteration count (a resumed run would
+    # otherwise silently end one training iteration early)
+    has_initial_phase = (initial_controller is not None
+                         and params.get("initial_number_of_rollouts", 0) > 0)
+    do_initial_rollouts = has_initial_phase and not cpm.were_buffers_loaded
 
-    total_iterations = params.training_iterations + int(do_initial_rollouts)
+    total_iterations = params.training_iterations + int(has_initial_phase)
     current_max_iterations = total_iterations
     if cpm.do_restarting:
         window = cpm.restart_every_n_iter
@@ -146,6 +149,8 @@ def run(params) -> dict:
     for iteration in range(main_state.iteration, current_max_iterations):
         logger.info(f"Current iteration: {iteration}")
         main_state.iteration = iteration
+        # resumed runs must not replay iteration-0 episode keys
+        rollout_man.set_epoch(iteration)
         is_init_iteration = do_initial_rollouts and iteration == 0
         start_time = time.time()
 

@@ -140,7 +140,9 @@ class RolloutBuffer:
         if self.max_size is None:
             return
         total = sum(len(r) for r in self._rollouts)
-        while self._rollouts and total > self.max_size:
+        # never evict down to nothing: a single episode longer than max_size
+        # stays (otherwise fresh data would be silently discarded)
+        while len(self._rollouts) > 1 and total > self.max_size:
             total -= len(self._rollouts[0])
             self._rollouts.pop(0)
             self._flat_cache = None
@@ -181,21 +183,30 @@ class RolloutBuffer:
         return train, test
 
     # -- reward statistics (rolloutbuffer.py:249-274) -------------------------
+    def _nonempty(self):
+        """Zero-length rollouts (first-step physics blow-ups) carry no reward
+        samples; statistics skip them instead of crashing np.max on (0,)."""
+        return [r for r in self._rollouts if len(r) > 0]
+
     @property
     def mean_avg_reward(self):
-        return float(np.mean([np.mean(r["rewards"]) for r in self._rollouts]))
+        rs = self._nonempty()
+        return float(np.mean([np.mean(r["rewards"]) for r in rs])) if rs else float("nan")
 
     @property
     def mean_max_reward(self):
-        return float(np.mean([np.max(r["rewards"]) for r in self._rollouts]))
+        rs = self._nonempty()
+        return float(np.mean([np.max(r["rewards"]) for r in rs])) if rs else float("nan")
 
     @property
     def mean_return(self):
-        return float(np.mean([np.sum(r["rewards"]) for r in self._rollouts]))
+        rs = self._nonempty()
+        return float(np.mean([np.sum(r["rewards"]) for r in rs])) if rs else float("nan")
 
     @property
     def std_return(self):
-        return float(np.std([np.sum(r["rewards"]) for r in self._rollouts]))
+        rs = self._nonempty()
+        return float(np.std([np.sum(r["rewards"]) for r in rs])) if rs else float("nan")
 
 
 def rollouts_from_trajectory_batch(traj, valid_len: Optional[np.ndarray] = None,

@@ -94,8 +94,11 @@ class CheckpointManager:
         if not os.path.isdir(self.model_dir):
             return None
         candidates = sorted(
-            d for d in os.listdir(self.model_dir)
-            if d.startswith(self.CHECKPOINT_PREFIX + "_") and d[-1].isdigit()
+            (d for d in os.listdir(self.model_dir)
+             if d.startswith(self.CHECKPOINT_PREFIX + "_") and d[-1].isdigit()),
+            # numeric sort: past 999 iterations the 03d padding stops
+            # zero-aligning and a lexicographic sort would pick 999 over 1000
+            key=lambda d: int(d.rsplit("_", 1)[-1]),
         )
         return os.path.join(self.model_dir, candidates[-1]) if candidates else None
 

@@ -90,7 +90,9 @@ def _inherits_to_paths(entries, base_dir: str) -> list:
     for name in entries:
         if name is None:
             continue
-        rel = re.sub(r"(\w)\.(\w)", r"\1/\2", str(name).replace("..", "../"))
+        # lookahead so EVERY interior dot converts ('a.b.c' -> 'a/b/c'; the
+        # reference's non-overlapping regex only got every other one)
+        rel = re.sub(r"(\w)\.(?=\w)", r"\1/", str(name).replace("..", "../"))
         paths.append(os.path.normpath(os.path.join(base_dir, rel + ".json")))
     return paths
 
@@ -172,10 +174,15 @@ def apply_overrides(params: ParamDict, overrides: list) -> ParamDict:
         key, sep, raw = override.partition("=")
         if not sep:
             raise ValueError(f"override {override!r} must look like key=value")
-        try:
-            value = ast.literal_eval(raw)
-        except (ValueError, SyntaxError):
-            value = raw
+        # JSON spellings first (settings files use true/false/null, and the
+        # string 'false' would otherwise be truthy everywhere)
+        if raw in ("true", "false", "null"):
+            value = {"true": True, "false": False, "null": None}[raw]
+        else:
+            try:
+                value = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                value = raw
         node = mutable
         parts = key.split(".")
         for p in parts[:-1]:

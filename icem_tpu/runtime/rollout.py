@@ -53,9 +53,17 @@ class RolloutManager:
         self.num_parallel = int(p.get("num_parallel", 0))
         self.fuse_on_device = bool(p.get("fuse_on_device", True))
         self._episode_counter = 0
+        self._epoch = 0
         # fused-episode compile cache: functional_plan() captures learned
-        # weights by value, so the key includes the model's train-version
+        # weights by value, so entries are validated against the model's
+        # train-version and REPLACED on change (old executables with stale
+        # baked-in weights must not accumulate)
         self._fused_cache = {}
+
+    def set_epoch(self, epoch: int):
+        """Fold the training iteration into episode PRNG keys so a resumed
+        run does not replay the key stream of the first iterations."""
+        self._epoch = int(epoch)
 
     # ------------------------------------------------------------------ #
     def sample(self, policy, render: bool = False, mode: str = "train",
@@ -71,7 +79,8 @@ class RolloutManager:
     # ------------------------------------------------------------------ #
     def _episode_key(self, mode):
         self._episode_counter += 1
-        return Seeding.key_for(f"rollout/{mode}/{self._episode_counter}")
+        return Seeding.key_for(
+            f"rollout/{mode}/{self._epoch}/{self._episode_counter}")
 
     def _sample(self, policy, render: bool = False, mode: str = "train",
                 start_state=None, name: str = "") -> Rollout:
@@ -159,10 +168,10 @@ class RolloutManager:
         keys = jax.random.split(self._episode_key(mode), no_rollouts)
 
         model_version = getattr(getattr(policy, "forward_model", None), "version", 0)
-        cache_key = (id(policy), mode, no_rollouts, model_version)
+        cache_key = (id(policy), mode, no_rollouts)
         cached = self._fused_cache.get(cache_key)
-        if cached is not None:
-            episodes = cached(keys)
+        if cached is not None and cached[0] == model_version:
+            episodes = cached[1](keys)
             return self._episodes_to_rollouts(episodes, no_rollouts)
 
         plan = policy.functional_plan()
@@ -177,9 +186,15 @@ class RolloutManager:
             state, obs = env.reset_with_mode(k_env, mode)
             pstate = policy.init_plan_state(env.obs_dim, k_plan)
 
+            use_env_states = self.use_env_states
+
             def body(carry, _):
                 env_state, ob, ps, done_before = carry
-                action, ps2 = plan(ps, ob, env_state)
+                # honor the configured observability: without use_env_states
+                # the planner must reconstruct state from the observation,
+                # exactly as on the host path (ground_truth.py:50-55)
+                action, ps2 = plan(ps, ob,
+                                   env_state if use_env_states else None)
                 env_state2, ob2, rew, done = env.step(env_state, action)
                 # freeze after termination (mask instead of break)
                 keep = 1.0 - done_before
@@ -203,7 +218,7 @@ class RolloutManager:
             return obs_seq, nxt_seq, act_seq, rew_seq, done_seq, valid_seq, succ_seq
 
         run = jax.jit(jax.vmap(one_episode))
-        self._fused_cache[cache_key] = run
+        self._fused_cache[cache_key] = (model_version, run)  # replaces stale
         self._has_success_cache = has_success
         episodes = run(keys)
         return self._episodes_to_rollouts(episodes, no_rollouts)
@@ -234,10 +249,11 @@ def compute_reward_info(rollouts: RolloutBuffer, prefix: str = "",
     }
     if exec_time is not None:
         info[prefix + "exec_time"] = exec_time
-    try:
-        succ = rollouts.as_array("successes")[:, -1]
+    # final-step success per rollout; iterate (not as_array) so ragged
+    # episode lengths from early termination don't break the stack
+    succ = [float(r["successes"][-1]) for r in rollouts
+            if "successes" in r and len(r) > 0]
+    if succ:
         info[prefix + "mean_success"] = float(np.mean(succ))
         info[prefix + "std_success"] = float(np.std(succ))
-    except (KeyError, TypeError):
-        pass
     return info
