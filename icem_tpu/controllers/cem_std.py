@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from icem_tpu.controllers.icem import top_k_ascending
+from icem_tpu.controllers.icem import _validate_sampler_params, top_k_ascending
 from icem_tpu.models.base import rollout_open_loop, trajectory_cost
 
 
@@ -183,6 +183,9 @@ class MpcCemStd:
                  verbose=False, do_visualize_plan=False, seed: Optional[int] = None,
                  **kwargs):
         asp = dict(action_sampler_params or {})
+        _validate_sampler_params(asp, ("alpha", "elites_size", "opt_iterations",
+                                       "init_std", "execute_best_elite",
+                                       "shift_means", "bounds_like_levine"))
         self.env = env
         self.forward_model = forward_model
         self.cfg = CemStdConfig(

@@ -302,6 +302,23 @@ def plan_step(cfg: ICemConfig, predict_fn, cost_fn, pstate: ICemState, obs,
     )
 
 
+_ICEM_SAMPLER_KEYS = (
+    "alpha", "elites_size", "opt_iterations", "init_std", "use_mean_actions",
+    "keep_previous_elites", "shift_elites_over_time", "fraction_elites_reused",
+    "noise_beta",
+)
+
+
+def _validate_sampler_params(asp: dict, allowed: tuple):
+    """Reject unknown action_sampler_params keys loudly: the reference's
+    keyword-only parser raises TypeError on typos (icem.py:213-233); silently
+    running defaults instead would corrupt experiments."""
+    unknown = set(asp) - set(allowed)
+    if unknown:
+        raise TypeError(
+            f"unknown action_sampler_params {sorted(unknown)}; valid: {sorted(allowed)}")
+
+
 class MpcICem:
     """Host-side controller wrapper with the reference Controller API
     (get_action / beginning_of_rollout / end_of_rollout; base_types.py:42-59,
@@ -317,6 +334,7 @@ class MpcICem:
                  verbose=False, do_visualize_plan=False, seed: Optional[int] = None,
                  **kwargs):
         asp = dict(action_sampler_params or {})
+        _validate_sampler_params(asp, _ICEM_SAMPLER_KEYS)
         self.env = env
         self.forward_model = forward_model
         self.cfg = ICemConfig(
@@ -328,11 +346,7 @@ class MpcICem:
             action_dim=env.action_space.dim,
             action_low=tuple(np.asarray(env.action_space.low).ravel().tolist()),
             action_high=tuple(np.asarray(env.action_space.high).ravel().tolist()),
-            **{k: asp[k] for k in (
-                "alpha", "elites_size", "opt_iterations", "init_std",
-                "use_mean_actions", "keep_previous_elites",
-                "shift_elites_over_time", "fraction_elites_reused", "noise_beta",
-            ) if k in asp},
+            **{k: asp[k] for k in _ICEM_SAMPLER_KEYS if k in asp},
         )
         self.verbose = verbose
         self.do_visualize_plan = do_visualize_plan
@@ -354,10 +368,7 @@ class MpcICem:
         )
         # jitted one-step model advance for stateful models (icem.py:186-188);
         # eager execution here would dispatch hundreds of tiny kernels per step
-        if self._has_params:
-            self._advance = jax.jit(self._core_fn)
-        else:
-            self._advance = jax.jit(forward_model.predict_fn)
+        self._advance = jax.jit(self._core_fn)
 
     @property
     def model_evals_per_timestep(self):

@@ -89,6 +89,8 @@ class MpcRandom:
         if num_simulated_trajectories < 2:
             raise ValueError("At least two trajectories needed!")
         asp = dict(action_sampler_params or {})
+        from icem_tpu.controllers.icem import _validate_sampler_params
+        _validate_sampler_params(asp, ("action_change_frequency",))
         self.env = env
         self.forward_model = forward_model
         self.horizon = int(horizon)
@@ -135,6 +137,8 @@ class MpcRandom:
         pass
 
     def get_action(self, obs, state=None, mode="train"):
+        if self._key is None:
+            raise AttributeError("beginning_of_rollout() needs to be called before")
         obs = jnp.asarray(obs, jnp.float32)
         self._model_state = self.forward_model.got_actual_observation_and_env_state(
             observation=obs, env_state=state, model_state=self._model_state)

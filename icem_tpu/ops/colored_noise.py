@@ -98,13 +98,17 @@ def shape_white_spectrum(white_real, white_imag, beta, n: int, fmin: float = 0.0
 
     sr = white_real * s_scale
     si = white_imag * s_scale
-    # DC must be real; Nyquist must be real for even n
+    # DC must be real; Nyquist must be real for even n. The package then
+    # multiplies those real parts by sqrt(2) ("Fix magnitude") so the
+    # one-sided bins keep the full spectral power their imaginary halves
+    # would have carried (colorednoise.py powerlaw_psd_gaussian).
     nbins = n // 2 + 1
     bin_idx = jnp.arange(nbins)
-    imag_mask = bin_idx != 0
+    real_only = bin_idx == 0
     if n % 2 == 0 and n > 1:
-        imag_mask = imag_mask & (bin_idx != nbins - 1)
-    si = si * imag_mask.astype(dtype)
+        real_only = real_only | (bin_idx == nbins - 1)
+    si = si * (~real_only).astype(dtype)
+    sr = sr * jnp.where(real_only, jnp.sqrt(jnp.asarray(2.0, dtype)), 1.0)
 
     if n <= _MATMUL_IRFFT_MAX_N:
         C, D = _irfft_synthesis_matrices(n)

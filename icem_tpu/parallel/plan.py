@@ -32,7 +32,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from icem_tpu.controllers.icem import ICemConfig, ICemState, init_std, top_k_ascending
+from icem_tpu.controllers.icem import (ICemConfig, ICemState, _refit,
+                                        init_std, top_k_ascending)
 from icem_tpu.controllers.icem import sample_action_sequences
 from icem_tpu.models.base import rollout_open_loop, trajectory_cost
 
@@ -109,13 +110,12 @@ def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
         return shard_map(
             fn, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P()),
-            out_specs=(P("pop"), P("pop"), P("pop")),
+            out_specs=(P(axis_name), P(axis_name), P(axis_name)),
             check_vma=False,
         )
 
     best_action_seq = jnp.zeros((cfg.horizon, cfg.action_dim))
     best_cost = jnp.inf
-    best_last_obs = jnp.zeros((obs_dim,))
 
     for i, n_i in enumerate(cfg.population_schedule):
         key, k_it, k_shift = jax.random.split(key, 3)
@@ -155,14 +155,10 @@ def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
         best_idx = jnp.argmin(cand_c)
         best_action_seq = jnp.take(cand_a, best_idx, axis=0)
         best_cost = cand_c[best_idx]
-        best_last_obs = jnp.take(cand_o, best_idx, axis=0)
 
-        order = top_k_ascending(cand_c, K)
-        elite_actions = jnp.take(cand_a, order, axis=0)
-        elite_costs = jnp.take(cand_c, order, axis=0)
-        elite_last_obs = jnp.take(cand_o, order, axis=0)
-        mean = (1 - cfg.alpha) * jnp.mean(elite_actions, axis=0) + cfg.alpha * mean
-        std = (1 - cfg.alpha) * jnp.std(elite_actions, axis=0) + cfg.alpha * std
+        # single source of truth for elite selection + momentum refit
+        mean, std, elite_actions, elite_costs, elite_last_obs = _refit(
+            cfg, mean, std, cand_a, cand_c, cand_o)
         have_elites = jnp.asarray(True)
 
     executed = best_action_seq[0]
