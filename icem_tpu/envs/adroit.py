@@ -92,8 +92,13 @@ class Door(Env):
 
     def observation(self, state):
         hand_q, door, latch, palm, frame_xy = self._unpack(state)
-        handle = self._handle_pos(door, frame_xy) if state.ndim == 1 else \
-            jax.vmap(self._handle_pos)(door, frame_xy)
+        if state.ndim == 1:
+            handle = self._handle_pos(door, frame_xy)
+        else:
+            # arbitrary leading batch dims (base contract): flatten + vmap
+            batch_shape = state.shape[:-1]
+            handle = jax.vmap(self._handle_pos)(
+                door.reshape(-1), frame_xy.reshape(-1, 2)).reshape(batch_shape + (3,))
         door_open = jnp.where(door > 1.0, 1.0, -1.0)
         return jnp.concatenate([
             hand_q[..., 1:], latch[..., None], door[..., None], palm, handle,
@@ -126,9 +131,11 @@ class Door(Env):
 
         # door follows the palm's tangential pull when grasped & unlatched
         palm_disp = new_palm - palm
+        # d(handle)/d(door): the arc direction the handle moves as the door
+        # OPENS — palm displacement projected onto it is the opening pull
         tangent3 = jnp.concatenate([
             jnp.stack([-jnp.sin(door + jnp.pi / 2), jnp.cos(door + jnp.pi / 2)]),
-            jnp.zeros(1)]) * -1.0  # opening pull direction
+            jnp.zeros(1)])
         pull = jnp.dot(palm_disp, tangent3) / self.HANDLE_RADIUS
         pulling = near & unlatched & (grasp > 0.08)
         door_delta = jnp.where(pulling, pull, 0.0)

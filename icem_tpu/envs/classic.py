@@ -164,7 +164,8 @@ class DiscreteActionMountainCar(Env):
         velocity = jnp.where((position <= self.min_position) & (velocity < 0), 0.0, velocity)
         new_state = jnp.stack([position, velocity])
         done = (position >= self.goal_position).astype(jnp.float32)
-        return new_state, new_state, -1.0 + done, done
+        # gym pays -1 on EVERY step including the goal-reaching one
+        return new_state, new_state, jnp.float32(-1.0), done
 
     def state_from_observation(self, observation):
         return observation
@@ -223,7 +224,8 @@ class DiscreteActionCartPole(Env):
 
         done = ((jnp.abs(x) > self.x_threshold)
                 | (jnp.abs(theta) > self.theta_threshold)).astype(jnp.float32)
-        return new_state, new_state, 1.0 - done, done
+        # gym pays +1 on every step, including the one where done turns True
+        return new_state, new_state, jnp.float32(1.0), done
 
     def state_from_observation(self, observation):
         return observation

@@ -224,7 +224,7 @@ class SwimmerSuite(Env):
         q, qd, target = state[..., :nd], state[..., nd:2 * nd], state[..., 2 * nd:]
 
         def single(q, qd, target):
-            coms, angles, _ = planar.fk(self.model, q)
+            # one jvp gives primal AND tangent forward kinematics
             _, (vcom, vang) = jax.jvp(lambda q_: planar.fk(self.model, q_)[:2],
                                       (q,), (qd,))
             nose = q[0:2]
@@ -233,7 +233,11 @@ class SwimmerSuite(Env):
 
         if state.ndim == 1:
             return single(q, qd, target)
-        return jax.vmap(single)(q, qd, target)
+        # arbitrary leading batch dims (base-contract): flatten, vmap, restore
+        batch_shape = state.shape[:-1]
+        flat = jax.vmap(single)(q.reshape(-1, nd), qd.reshape(-1, nd),
+                                target.reshape(-1, target.shape[-1]))
+        return flat.reshape(batch_shape + flat.shape[-1:])
 
     def step(self, state, action):
         nd = self._ndof

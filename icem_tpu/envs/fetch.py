@@ -131,8 +131,11 @@ class FetchPickAndPlace(_FetchBase):
     State = [ee (3), grip (1), obj_pos (3), obj_vel (3), attached (1),
     goal (3)].
     Obs (28) = [grip_pos (3), obj_pos (3), obj_rel (3), fingers (2),
-    obj_rot (3)=0, obj_velp (3), obj_velr (3)=0, grip_velp (3),
+    obj_rot (3)=0, obj_velp (3), obj_velr (3)=0, grip_velp (3)=0,
     finger_vel (2), goal (3)].
+    (obj_rot/obj_velr/grip_velp are zero-filled: the reduced point-gripper
+    model carries no EE velocity or object rotation in its state; the slots
+    keep the gym/reference 25-dim core layout so cost indices line up.)
     """
 
     name = "FetchPickAndPlace"

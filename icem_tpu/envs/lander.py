@@ -73,6 +73,9 @@ class ContinuousLunarLander(Env):
         vx = vx + self.dt * thrust_x
         vy = vy + self.dt * (thrust_y - self.gravity)
         omega = omega + self.dt * side * self.side_power * 10.0
+        # classify on the IMPACT velocity, before ground damping rewrites it:
+        # a hard vertical slam must be a crash, not a +10 landing
+        vy_impact = vy
         # ground contact: support + strong damping
         vy = jnp.where(on_ground & (vy < 0), -0.2 * vy, vy)
         vx = jnp.where(on_ground, vx * 0.8, vx)
@@ -85,8 +88,8 @@ class ContinuousLunarLander(Env):
         obs = self.observation(new_state)
 
         landed = on_ground & (jnp.abs(vx) < 0.1) & (jnp.abs(ang) < 0.2) \
-            & (jnp.abs(x) < 0.2)
-        crashed = on_ground & ((jnp.abs(ang) > 0.6) | (jnp.abs(vy) > 1.5))
+            & (jnp.abs(x) < 0.2) & (jnp.abs(vy_impact) < 1.0)
+        crashed = on_ground & ((jnp.abs(ang) > 0.6) | (jnp.abs(vy_impact) > 1.0))
         shaping = -(jnp.abs(x) + jnp.abs(y) + 0.3 * (jnp.abs(vx) + jnp.abs(vy))
                     + jnp.abs(ang))
         reward = shaping - 0.3 * main - 0.03 * jnp.abs(side) \

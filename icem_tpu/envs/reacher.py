@@ -185,6 +185,11 @@ class RestrictedReacherSuite(ReacherSuite):
         self.init_position_std_eval = float(init_position_std_eval)
 
     def init_state(self, key, mode: str = "train"):
+        # NOTE deliberate deviation: the reference maps mode=='evaluate' to
+        # init_position_std_TRAIN and everything else to std_EVAL
+        # (dm_suite.py:44-49) — a swapped lookup we do not replicate. The
+        # fixed base joint pose mirrors its FixedPosPlusUniformRandom
+        # (a constant draw from a fixed-seed RandomState plus uniform noise).
         std = self.init_position_std_eval if mode == "evaluate" \
             else self.init_position_std_train
         q = 1.0 + jax.random.uniform(key, (2,), minval=-std, maxval=std)
