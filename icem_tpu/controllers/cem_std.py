@@ -145,6 +145,8 @@ def plan_step(cfg: CemStdConfig, predict_fn, cost_fn, pstate: CemStdState, obs,
         traj = rollout_open_loop(predict_fn, model_state, obs, actions)
         costs = trajectory_cost(cost_fn, traj, cfg.cost_along_trajectory,
                                 cfg.use_env_reward_as_cost)
+        # non-finite costs rank last (see icem.top_k_ascending)
+        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
         best_idx = jnp.argmin(costs)
         best_actions = jnp.take(actions, best_idx, axis=0)
         best_cost = costs[best_idx]
@@ -176,6 +178,7 @@ class MpcCemStd:
     needs_training = False
     needs_data = False
     has_state = True
+    needs_forward_model = True
 
     def __init__(self, *, env, forward_model, action_sampler_params=None,
                  horizon=30, num_simulated_trajectories=40, factor_decrease_num=1,

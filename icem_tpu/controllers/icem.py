@@ -175,15 +175,28 @@ def sample_action_sequences(cfg: ICemConfig, key, mean, std, num_traj: int):
 
 
 def top_k_ascending(costs, k: int):
-    """Indices of the k smallest costs, ascending.
+    """Indices of the k smallest costs, ascending, with stable tie-breaking.
 
-    lax.top_k is far cheaper than a full argsort on TPU (the planner only
-    ever needs the K elites out of tens of thousands of candidates). For
-    distinct costs the result matches the reference's stable np.argsort
-    selection exactly; float-cost ties are measure-zero.
+    Two deliberate deviations from a naive ``lax.top_k(-costs, k)``:
+
+    - non-finite costs (diverged learned-model rollouts, physics blow-ups
+      during imagination) are sanitized to +inf so they rank LAST — XLA's
+      top_k total order would otherwise rank NaN above every number and a
+      single blown-up trajectory would become the #1 elite and poison the
+      mean/std refit for the rest of the episode (np.argsort sorts NaN last,
+      so this matches the reference's icem.py:199 behavior);
+    - ties break by LOWER index (stable), which sparse-cost envs (e.g. Fetch
+      with ``sparse: true``) hit constantly with exactly-tied integer costs;
+      a lexicographic (cost, index) sort pins the elite ordering to the
+      candidate order, matching a stable argsort.
+
+    One stable sort of the candidate set costs microseconds next to the
+    h-step rollouts that produced the costs.
     """
-    _, idx = jax.lax.top_k(-costs, k)
-    return idx
+    costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+    iota = jnp.arange(costs.shape[0], dtype=jnp.int32)
+    _, idx = jax.lax.sort((costs, iota), is_stable=True, num_keys=1)
+    return idx[:k]
 
 
 def _refit(cfg: ICemConfig, mean, std, cand_actions, cand_costs, cand_last_obs):
@@ -271,7 +284,10 @@ def plan_step(cfg: ICemConfig, predict_fn, cost_fn, pstate: ICemState, obs,
             cand_actions, cand_costs = sim_actions, sim_costs
             cand_last_obs, cand_valid = sim_last_obs, sim_valid
 
-        cand_costs = jnp.where(cand_valid, cand_costs, jnp.inf)
+        # invalid rows AND non-finite costs rank last (argmin would otherwise
+        # pick a NaN trajectory; see top_k_ascending)
+        cand_costs = jnp.where(cand_valid & jnp.isfinite(cand_costs),
+                               cand_costs, jnp.inf)
 
         best_idx = jnp.argmin(cand_costs)  # icem.py:149
         best_action_seq = jnp.take(cand_actions, best_idx, axis=0)
@@ -327,6 +343,7 @@ class MpcICem:
     needs_training = False
     needs_data = False
     has_state = True
+    needs_forward_model = True
 
     def __init__(self, *, env, forward_model, action_sampler_params=None,
                  horizon=30, num_simulated_trajectories=40, factor_decrease_num=1.25,

@@ -24,6 +24,7 @@ class OpenLoopPolicy:
     needs_training = False
     needs_data = False
     has_state = True
+    needs_forward_model = False
 
     def __init__(self, action_sequences, *, env=None, **kwargs):
         seq = np.asarray(action_sequences, np.float32)

@@ -38,6 +38,7 @@ class RndController:
     needs_training = False
     needs_data = False
     has_state = False
+    needs_forward_model = False
 
     def __init__(self, *, env, action_change_frequency: int = 1,
                  seed: Optional[int] = None, **kwargs):
@@ -80,6 +81,7 @@ class MpcRandom:
     needs_training = False
     needs_data = False
     has_state = True
+    needs_forward_model = True
 
     def __init__(self, *, env, forward_model, horizon=30,
                  num_simulated_trajectories=40, cost_along_trajectory="sum",
@@ -115,6 +117,8 @@ class MpcRandom:
             traj = rollout_open_loop(forward_model.predict_fn, model_state, obs, actions)
             costs = trajectory_cost(env.cost_fn, traj, cost_along_trajectory,
                                     self.use_env_reward_as_cost)
+            # non-finite costs rank last (see icem.top_k_ascending)
+            costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
             best = jnp.argmin(costs)
             return actions[best, 0], costs[best], key
 

@@ -88,8 +88,12 @@ class PlanarEnv(Env):
         acts = jnp.clip(actions, -1.0, 1.0)
 
         from icem_tpu.ops.planar_rollout import (
-            BLOCK, pallas_available, rollout_planar_pallas)
-        use_pallas = pallas_available() and P >= BLOCK
+            BLOCK, fits_vmem, pallas_available, rollout_planar_pallas)
+        # fits_vmem: large (h, ndof) configs (e.g. humanoid_standup h=40)
+        # would exceed the kernel's per-block VMEM budget and fail Mosaic
+        # lowering — a config-dependent TPU-only crash; fall back to XLA
+        use_pallas = (pallas_available() and P >= BLOCK
+                      and fits_vmem(h, nd, acts.shape[2]))
 
         align = BLOCK if use_pallas else 8
         pad = (-P) % align

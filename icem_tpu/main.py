@@ -40,6 +40,19 @@ from icem_tpu.runtime.seeding import Seeding
 VALID_DATA_SOURCES = {"env", "policy", "expert"}
 
 
+def _build_controller(cls, env, forward_model, kwargs):
+    """Construct via the explicit ``needs_forward_model`` class flag — no
+    signature sniffing, so a genuine TypeError from bad controller kwargs
+    propagates instead of being masked by a retry (reference: main.py:26-54)."""
+    if getattr(cls, "needs_forward_model", False):
+        if forward_model is None:
+            raise AttributeError(
+                f"{cls.__name__} needs a forward model but params.forward_model "
+                f"is 'none'")
+        return cls(env=env, forward_model=forward_model, **kwargs)
+    return cls(env=env, **kwargs)
+
+
 def get_controllers(params, env, forward_model):
     """Build initial + main controllers (reference: main.py:26-54)."""
     initial_controller = None
@@ -47,17 +60,11 @@ def get_controllers(params, env, forward_model):
     if name not in (None, "none", "null"):
         cls = controller_from_string(name)
         kwargs = dict(params.get("initial_controller_params", {}))
-        if getattr(cls, "has_state", False) or "forward_model" in cls.__init__.__code__.co_varnames:
-            initial_controller = cls(env=env, forward_model=forward_model, **kwargs)
-        else:
-            initial_controller = cls(env=env, **kwargs)
+        initial_controller = _build_controller(cls, env, forward_model, kwargs)
 
     cls = controller_from_string(params.controller)
     kwargs = dict(params.controller_params)
-    try:
-        main_controller = cls(env=env, forward_model=forward_model, **kwargs)
-    except TypeError:
-        main_controller = cls(env=env, **kwargs)
+    main_controller = _build_controller(cls, env, forward_model, kwargs)
 
     if getattr(main_controller, "needs_data", False):
         sources = params.get("controller_data_sources")
@@ -106,6 +113,10 @@ def run(params) -> dict:
         cpm.load_controller(main_controller)
         reward_info_full = cpm.load_reward_dict(reward_info_full)
         cpm.load_main_state(main_state)
+        # resume the auto-stepped metric streams where they left off instead
+        # of restarting them at 0 (reference main.py:73-74 restores allogger's
+        # step_per_key the same way)
+        logger.step_per_key.update(main_state.metric_steps)
     else:
         cpm = CheckpointManager(model_dir=model_dir, load=False, save=False)
 
@@ -114,6 +125,7 @@ def run(params) -> dict:
         if cpm is not None and cpm.save:
             if final or step % cpm.save_every_n_iter == 0:
                 cpm.update_checkpoint_dir(step)
+                main_state.metric_steps = dict(logger.step_per_key)
                 cpm.save_main_state(main_state)
                 for buf, suffix in ((rollout_buffer, ""), (rollout_buffer_eval, "_eval"),
                                     (rollout_buffer_expert, "_expert"),
@@ -171,6 +183,13 @@ def run(params) -> dict:
         reward_info.update(info)
         for k, v in info.items():
             logger.log(v, key=k, step=iteration)
+        # cumulative successful-rollout counter (reference main.py:158 shows
+        # it in the progress bar; checkpointed with MainState)
+        main_state.successful_rollouts += sum(
+            1 for r in new_rollouts
+            if "successes" in r and len(r) > 0 and float(r["successes"][-1]) > 0)
+        if main_state.successful_rollouts:
+            logger.info(f"Successful rollouts: {main_state.successful_rollouts}")
 
         if params.get("append_data", False):
             rollout_buffer.extend(new_rollouts)

@@ -277,6 +277,12 @@ class EnsembleModel(ForwardModel):
             pickle.dump(state, f)
 
     def load(self, path):
+        import os
+        if not os.path.exists(path):
+            # tolerate checkpoints without a model file (see
+            # CheckpointManager.load_forward_model)
+            print(f"EnsembleModel.load: no file at {path}; keeping fresh params")
+            return
         with open(path, "rb") as f:
             state = pickle.load(f)
         self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])

@@ -112,9 +112,14 @@ def shape_white_spectrum(white_real, white_imag, beta, n: int, fmin: float = 0.0
 
     if n <= _MATMUL_IRFFT_MAX_N:
         C, D = _irfft_synthesis_matrices(n)
+        # Precision.HIGHEST: default TPU matmul precision lowers f32 to bf16
+        # passes, which would break the exact colorednoise-package parity this
+        # module guarantees (~1e-3 relative drift). The matrices are tiny.
         y = (jnp.matmul(sr.astype(jnp.float32), C,
+                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
              + jnp.matmul(si.astype(jnp.float32), D,
+                          precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)).astype(dtype)
     else:
         spectrum = jax.lax.complex(sr.astype(jnp.float32), si.astype(jnp.float32))

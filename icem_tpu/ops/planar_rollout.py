@@ -31,6 +31,23 @@ from icem_tpu.envs.physics.planar import PlanarModel
 LANES = 128  # one f32 vreg tile per batched scalar: [8, 128]
 BLOCK = 8 * LANES
 
+# VMEM is ~16 MB/core; the kernel's per-block footprint is the [h, na] action
+# input block plus two [h, nd] output blocks (each element a [8, 128] f32
+# tile), and Pallas double-buffers blocks across grid steps. Budget the
+# resident footprint at half of VMEM so the loop-carried physics working set
+# always fits; callers fall back to the XLA row-scan path above this.
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def block_vmem_bytes(horizon: int, ndof: int, n_act: int) -> int:
+    """Estimated VMEM residency of one grid step (with double buffering)."""
+    tiles = horizon * (n_act + 2 * ndof)
+    return 2 * tiles * 8 * LANES * 4
+
+
+def fits_vmem(horizon: int, ndof: int, n_act: int) -> bool:
+    return block_vmem_bytes(horizon, ndof, n_act) <= _VMEM_BUDGET_BYTES
+
 
 _KERNEL_CACHE = {}
 

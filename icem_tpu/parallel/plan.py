@@ -150,7 +150,8 @@ def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
         cand_c = jnp.concatenate(cand_c, axis=0)
         cand_o = jnp.concatenate(cand_o, axis=0)
         cand_valid = jnp.concatenate(cand_valid, axis=0)
-        cand_c = jnp.where(cand_valid, cand_c, jnp.inf)
+        # invalid rows AND non-finite costs rank last (see top_k_ascending)
+        cand_c = jnp.where(cand_valid & jnp.isfinite(cand_c), cand_c, jnp.inf)
 
         best_idx = jnp.argmin(cand_c)
         best_action_seq = jnp.take(cand_a, best_idx, axis=0)

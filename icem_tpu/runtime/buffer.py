@@ -74,8 +74,20 @@ class Rollout:
     def __contains__(self, key):
         return key in self._data or key in self._side
 
-    def cost_to_go(self):
-        return np.cumsum(self._data["rewards"][::-1])[::-1]
+    def cost_to_go(self, t=None, discount: float = 1.0):
+        """Reward-suffix aggregate (misc/rolloutbuffer.py:53-54).
+
+        With ``t`` given: scalar ``sum_i rewards[i] * discount**(t - i)`` for
+        i in [t, T) — the reference's exact formula, including its inverted
+        exponent sign (discount < 1 up-weights later rewards). Without ``t``:
+        the full vector of undiscounted suffix sums (one per start index).
+        """
+        rewards = self._data["rewards"]
+        if t is None:
+            return np.cumsum(rewards[::-1])[::-1]
+        t = int(t)
+        i = np.arange(t, len(rewards))
+        return float(np.sum(rewards[t:] * float(discount) ** (t - i)))
 
     def as_dict(self):
         return dict(self._data)

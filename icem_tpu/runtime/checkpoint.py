@@ -155,7 +155,15 @@ class CheckpointManager:
 
     def load_forward_model(self, forward_model):
         if forward_model is not None and self._load_dir:
-            forward_model.load(self._path(self._load_dir, "forward_model"))
+            p = self._path(self._load_dir, "forward_model")
+            # a checkpoint written before any model existed (or pruned via
+            # exclude_rollouts-style options) has no model file — skip rather
+            # than kill the resume with FileNotFoundError
+            if os.path.exists(p):
+                forward_model.load(p)
+            else:
+                print(f"no forward-model file in checkpoint {self._load_dir}; "
+                      f"keeping the fresh model")
 
     def store_controller(self, controller):
         if controller is not None:
@@ -163,7 +171,9 @@ class CheckpointManager:
 
     def load_controller(self, controller):
         if controller is not None and self._load_dir:
-            controller.load(self._path(self._load_dir, "controller"))
+            p = self._path(self._load_dir, "controller")
+            if os.path.exists(p):
+                controller.load(p)
 
     def save_reward_dict(self, reward_dict: dict):
         np.save(self._path(self._current_dir, "reward_info.npy"),

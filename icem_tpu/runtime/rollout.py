@@ -168,9 +168,13 @@ class RolloutManager:
         keys = jax.random.split(self._episode_key(mode), no_rollouts)
 
         model_version = getattr(getattr(policy, "forward_model", None), "version", 0)
+        # key on id(policy) but hold a STRONG ref to the policy in the entry:
+        # without it a garbage-collected controller's address can be reused by
+        # a new controller of the same type and the cache would silently
+        # replay the old jitted episode with the old config baked in
         cache_key = (id(policy), mode, no_rollouts)
         cached = self._fused_cache.get(cache_key)
-        if cached is not None and cached[0] == model_version:
+        if cached is not None and cached[0] == model_version and cached[2] is policy:
             episodes = cached[1](keys)
             return self._episodes_to_rollouts(episodes, no_rollouts)
 
@@ -218,7 +222,7 @@ class RolloutManager:
             return obs_seq, nxt_seq, act_seq, rew_seq, done_seq, valid_seq, succ_seq
 
         run = jax.jit(jax.vmap(one_episode))
-        self._fused_cache[cache_key] = (model_version, run)  # replaces stale
+        self._fused_cache[cache_key] = (model_version, run, policy)  # replaces stale
         self._has_success_cache = has_success
         episodes = run(keys)
         return self._episodes_to_rollouts(episodes, no_rollouts)

@@ -43,8 +43,14 @@ class VideoRecorder:
     def close(self) -> Optional[str]:
         if not self._frames:
             return None
-        import imageio
-        # GIF timing is in 10ms hundredths; clamp to a sane playback rate
+        # GIF frame delay: the v2 API interprets `duration` in SECONDS, the
+        # v3 GIF plugin in MILLISECONDS — mixing them up plays GIFs ~1000x
+        # too fast. Pin the v2 writer explicitly so semantics can't drift
+        # with the installed imageio's default API.
+        try:
+            import imageio.v2 as imageio
+        except ImportError:
+            import imageio
         duration = max(1.0 / self.fps, 0.02)
         imageio.mimwrite(self.path, self._frames, duration=duration, loop=0)
         self._frames = []
