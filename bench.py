@@ -37,6 +37,10 @@ def main():
     POP = int(os.environ.get("BENCH_POP", 32768))
     PLAN_STEPS = int(os.environ.get("BENCH_STEPS", 10))
     HORIZON = 30
+    # BENCH_SHARDED=1: population sharded over every visible device via
+    # plan_step_sharded (the config-reachable multi-chip path); default is
+    # the single-chip fused planner
+    SHARDED = bool(int(os.environ.get("BENCH_SHARDED", "0")))
 
     from icem_tpu.models.ground_truth import GroundTruthModel
 
@@ -54,10 +58,19 @@ def main():
     traj_per_plan_step = sum(cfg.population_schedule) + (
         cfg.elites_kept if cfg.shift_elites_over_time else 0)
 
+    if SHARDED:
+        from icem_tpu.parallel.plan import make_pop_mesh, plan_step_sharded
+        mesh = make_pop_mesh()
+        plan_fn = lambda ps, ob, es: plan_step_sharded(
+            cfg, predict_fn, env.cost_fn, mesh, ps, ob, es)
+    else:
+        plan_fn = lambda ps, ob, es: ic.plan_step(
+            cfg, predict_fn, env.cost_fn, ps, ob, es)
+
     def episode(pstate, env_state, obs):
         def body(carry, _):
             es, ob, ps = carry
-            res = ic.plan_step(cfg, predict_fn, env.cost_fn, ps, ob, es)
+            res = plan_fn(ps, ob, es)
             es2, ob2, rew, _ = env.step(es, res.action)
             return (es2, ob2, res.state), (rew, res.expected_cost)
 
@@ -75,11 +88,15 @@ def main():
     jax.block_until_ready(rews)
     assert np.all(np.isfinite(np.asarray(costs))), "non-finite planning costs"
 
-    # timed runs
+    # timed runs — each rep gets a DISTINCT planner key: the axon TPU tunnel
+    # memoizes repeated executions with identical inputs, which would report
+    # cached (near-zero) latencies for reps 2..n
     n_rep = 3
+    rep_states = [ic.init_state(cfg, env.obs_dim, jax.random.key(100 + r))
+                  for r in range(n_rep)]
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        rews, costs, final_state = run(pstate, state, obs)
+    for r in range(n_rep):
+        rews, costs, final_state = run(rep_states[r], state, obs)
     jax.block_until_ready(rews)
     elapsed = (time.perf_counter() - t0) / n_rep
 

@@ -184,7 +184,7 @@ class MpcCemStd:
                  horizon=30, num_simulated_trajectories=40, factor_decrease_num=1,
                  cost_along_trajectory="sum", use_env_reward_as_cost=False,
                  verbose=False, do_visualize_plan=False, seed: Optional[int] = None,
-                 **kwargs):
+                 sharded=False, **kwargs):
         asp = dict(action_sampler_params or {})
         _validate_sampler_params(asp, ("alpha", "elites_size", "opt_iterations",
                                        "init_std", "execute_best_elite",
@@ -216,8 +216,17 @@ class MpcCemStd:
         self._core_fn = getattr(forward_model, "apply_fn", None) \
             or forward_model.predict_fn
         self._has_params = getattr(forward_model, "apply_fn", None) is not None
-        self._plan = jax.jit(
-            partial(plan_step, self.cfg, self._core_fn, env.cost_fn))
+        # config-selectable multi-chip planning (see MpcICem.__init__)
+        from icem_tpu.parallel.plan import cem_plan_step_sharded, resolve_mesh
+        self._mesh = resolve_mesh(
+            sharded, getattr(forward_model, "num_parallel", 0) or 0)
+        if self._mesh is not None:
+            self._plan_impl = partial(cem_plan_step_sharded, self.cfg,
+                                      self._core_fn, env.cost_fn, self._mesh)
+        else:
+            self._plan_impl = partial(plan_step, self.cfg, self._core_fn,
+                                      env.cost_fn)
+        self._plan = jax.jit(self._plan_impl)
         self._advance = jax.jit(self._core_fn)
 
     @property
@@ -264,16 +273,13 @@ class MpcCemStd:
         return init_state(self.cfg, key)
 
     def functional_plan(self):
-        cfg = self.cfg
-        core_fn = self._core_fn
-        cost_fn = self.env.cost_fn
+        plan_impl = self._plan_impl
         init_model_state = self.forward_model.init_model_state
         params = self.forward_model.params if self._has_params else None
 
         def plan(pstate, obs, env_state):
             model_state = init_model_state(obs, env_state)
-            res = plan_step(cfg, core_fn, cost_fn, pstate, obs, model_state,
-                            model_params=params)
+            res = plan_impl(pstate, obs, model_state, params)
             return res.action, res.state
 
         return plan

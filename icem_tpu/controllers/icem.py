@@ -190,13 +190,16 @@ def top_k_ascending(costs, k: int):
       a lexicographic (cost, index) sort pins the elite ordering to the
       candidate order, matching a stable argsort.
 
-    One stable sort of the candidate set costs microseconds next to the
-    h-step rollouts that produced the costs.
+    ``lax.top_k`` documents "if two elements are equal, the lower-index
+    element appears first" — ties in ``-costs`` are ties in ``costs``, so the
+    selection IS the stable-argsort prefix, at top-k cost (far cheaper than a
+    full sort of tens of thousands of candidates). Verified against
+    ``np.argsort(kind='stable')`` including dense integer ties in
+    tests/test_icem_planner.py.
     """
     costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
-    iota = jnp.arange(costs.shape[0], dtype=jnp.int32)
-    _, idx = jax.lax.sort((costs, iota), is_stable=True, num_keys=1)
-    return idx[:k]
+    _, idx = jax.lax.top_k(-costs, k)
+    return idx
 
 
 def _refit(cfg: ICemConfig, mean, std, cand_actions, cand_costs, cand_last_obs):
@@ -349,7 +352,7 @@ class MpcICem:
                  horizon=30, num_simulated_trajectories=40, factor_decrease_num=1.25,
                  cost_along_trajectory="sum", use_env_reward_as_cost=False,
                  verbose=False, do_visualize_plan=False, seed: Optional[int] = None,
-                 **kwargs):
+                 sharded=False, **kwargs):
         asp = dict(action_sampler_params or {})
         _validate_sampler_params(asp, _ICEM_SAMPLER_KEYS)
         self.env = env
@@ -380,9 +383,20 @@ class MpcICem:
         self._core_fn = getattr(forward_model, "apply_fn", None) \
             or forward_model.predict_fn
         self._has_params = getattr(forward_model, "apply_fn", None) is not None
-        self._plan = jax.jit(
-            partial(plan_step, self.cfg, self._core_fn, env.cost_fn)
-        )
+        # multi-chip planning is config-selectable (controller_params.sharded:
+        # false | true | "auto") — the TPU equivalent of the reference's
+        # ParallelGroundTruthModel worker count (gt_par_model.py:20-39), whose
+        # num_parallel caps the mesh width for config parity
+        from icem_tpu.parallel.plan import plan_step_sharded, resolve_mesh
+        self._mesh = resolve_mesh(
+            sharded, getattr(forward_model, "num_parallel", 0) or 0)
+        if self._mesh is not None:
+            self._plan_impl = partial(plan_step_sharded, self.cfg,
+                                      self._core_fn, env.cost_fn, self._mesh)
+        else:
+            self._plan_impl = partial(plan_step, self.cfg, self._core_fn,
+                                      env.cost_fn)
+        self._plan = jax.jit(self._plan_impl)
         # jitted one-step model advance for stateful models (icem.py:186-188);
         # eager execution here would dispatch hundreds of tiny kernels per step
         self._advance = jax.jit(self._core_fn)
@@ -474,18 +488,17 @@ class MpcICem:
 
     def functional_plan(self):
         """(pstate, obs, env_state) -> (action, pstate'), fully traceable —
-        lets the episode loop fuse planner + env into one scan. For learned
-        models the CURRENT params are captured; re-call after training."""
-        cfg = self.cfg
-        core_fn = self._core_fn
-        cost_fn = self.env.cost_fn
+        lets the episode loop fuse planner + env into one scan (mesh-aware:
+        a sharded controller fuses sharded episodes, the shard_map composes
+        under the episode vmap). For learned models the CURRENT params are
+        captured; re-call after training."""
+        plan_impl = self._plan_impl
         init_model_state = self.forward_model.init_model_state
         params = self.forward_model.params if self._has_params else None
 
         def plan(pstate, obs, env_state):
             model_state = init_model_state(obs, env_state)
-            res = plan_step(cfg, core_fn, cost_fn, pstate, obs, model_state,
-                            model_params=params)
+            res = plan_impl(pstate, obs, model_state, params)
             return res.action, res.state
 
         return plan

@@ -32,8 +32,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from icem_tpu.controllers.icem import (ICemConfig, ICemState, _refit,
-                                        init_std, top_k_ascending)
+from icem_tpu.controllers.icem import (ICemConfig, ICemState, PlanResult,
+                                        _refit, init_std, top_k_ascending)
 from icem_tpu.controllers.icem import sample_action_sequences
 from icem_tpu.models.base import rollout_open_loop, trajectory_cost
 
@@ -47,16 +47,41 @@ def make_pop_mesh(devices=None, axis_name: str = "pop") -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
+def resolve_mesh(sharded, num_parallel: int = 0, axis_name: str = "pop"):
+    """Decide the planning mesh from the config-level ``sharded`` option.
+
+    - ``False``: None — single-device planning.
+    - ``True``: mesh over all visible devices (capped by ``num_parallel``).
+    - ``"auto"``: mesh iff more than one device is visible — the config-
+      reachable replacement for the reference's process-count knob
+      (gt_par_model.py:20-39, settings ``forward_model_params.num_parallel``).
+
+    ``num_parallel`` > 0 (the ParallelGroundTruthModel hint) caps the mesh
+    width for config parity with the reference's worker count.
+    """
+    if not sharded:
+        return None
+    devices = jax.devices()
+    if sharded == "auto" and len(devices) <= 1:
+        return None
+    if num_parallel and num_parallel > 0:
+        devices = devices[: max(1, min(int(num_parallel), len(devices)))]
+    if sharded == "auto" and len(devices) <= 1:
+        return None
+    return make_pop_mesh(devices, axis_name)
+
+
 def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
-                      pstate: ICemState, obs, model_state, axis_name: str = "pop",
-                      model_params=None):
+                      pstate: ICemState, obs, model_state, model_params=None,
+                      axis_name: str = "pop"):
     """One iCEM planning step with the population sharded over ``mesh``.
 
     Same algorithm as controllers.icem.plan_step (see its docstring for the
     reference mapping); differs only in how the population is laid out.
     With ``model_params``, predict_fn takes (params, ms, obs, act) — the
     learned-model weights stay replicated across the mesh (see
-    controllers.icem.plan_step). Returns (action, new_state, expected_cost).
+    controllers.icem.plan_step). Returns a PlanResult (same contract as
+    plan_step, so controllers can swap the two transparently).
     """
     if model_params is not None:
         predict_fn = partial(predict_fn, model_params)
@@ -104,9 +129,14 @@ def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
         # logically); XLA inserts the single all-gather where the replicated
         # global top-k below consumes it
         fn = partial(local_find, n_local=n_local, use_mean_row=use_mean_row)
-        # check_vma=False: varying-axis inference mis-types some autodiff
-        # graphs (e.g. jacfwd basis constants) inside the physics engine;
-        # outputs are genuinely pop-sharded so the check adds nothing here
+        # check_vma=False: jax 0.9's varying-axis inference cannot type the
+        # constant AD basis seeds that jacfwd creates inside the physics
+        # engine (mass_matrix's identity tangents concatenate with varying
+        # fk tangents → "Primitive concatenate requires varying manual axes
+        # to match"; JAX's own error text prescribes check_vma=False as the
+        # workaround). The semantic risk the check would cover is instead
+        # guarded by tests/test_parallel.py's exact single-device emulation
+        # of this function (injected noise, bitwise decision equality).
         return shard_map(
             fn, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P()),
@@ -116,6 +146,7 @@ def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
 
     best_action_seq = jnp.zeros((cfg.horizon, cfg.action_dim))
     best_cost = jnp.inf
+    best_last_obs = jnp.zeros_like(obs)
 
     for i, n_i in enumerate(cfg.population_schedule):
         key, k_it, k_shift = jax.random.split(key, 3)
@@ -156,6 +187,7 @@ def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
         best_idx = jnp.argmin(cand_c)
         best_action_seq = jnp.take(cand_a, best_idx, axis=0)
         best_cost = cand_c[best_idx]
+        best_last_obs = jnp.take(cand_o, best_idx, axis=0)
 
         # single source of truth for elite selection + momentum refit
         mean, std, elite_actions, elite_costs, elite_last_obs = _refit(
@@ -169,4 +201,88 @@ def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
     new_state = ICemState(mean=mean, std=std, elite_actions=elite_actions,
                           elite_costs=elite_costs, elite_last_obs=elite_last_obs,
                           have_elites=have_elites, key=key)
-    return executed, new_state, best_cost
+    return PlanResult(action=executed, state=new_state, expected_cost=best_cost,
+                      best_actions=best_action_seq, best_last_obs=best_last_obs)
+
+
+def cem_plan_step_sharded(cfg, predict_fn, cost_fn, mesh: Mesh, pstate, obs,
+                          model_state, model_params=None,
+                          axis_name: str = "pop"):
+    """Vanilla-CEM planning step (controllers.cem_std.plan_step) with the
+    population sharded over ``mesh``.
+
+    Same layout as plan_step_sharded: every device draws and simulates its
+    own truncated-normal shard (fold_in streams), selects a local top-k, and
+    one all_gather feeds the replicated refit. k_local = num_elites per
+    device >= the global elite count, so elite selection and the executed
+    best action are exact. Returns a CemPlanResult.
+    """
+    from icem_tpu.controllers.cem_std import (CemPlanResult, CemStdState,
+                                              _bounds, _init_mean, _init_std,
+                                              truncated_normal)
+
+    if model_params is not None:
+        predict_fn = partial(predict_fn, model_params)
+    n_dev = mesh.devices.size
+    K = cfg.num_elites
+    mean, std, key = pstate
+    n_local = _cdiv(cfg.num_simulated_trajectories, n_dev)
+
+    def local_find(key_it, mean_, std_, obs_, model_state_):
+        idx = jax.lax.axis_index(axis_name)
+        k = jax.random.fold_in(key_it, idx)
+        to_varying = lambda x: jax.lax.pcast(x, (axis_name,), to="varying")
+        obs_ = to_varying(obs_)
+        mean_, std_ = to_varying(mean_), to_varying(std_)
+        model_state_ = jax.tree_util.tree_map(to_varying, model_state_)
+        lower, upper, std_c = _bounds(cfg, mean_, std_)
+        actions = truncated_normal(k, lower, upper, mean_, std_c,
+                                   (n_local, cfg.horizon, cfg.action_dim))
+        traj = rollout_open_loop(predict_fn, model_state_, obs_, actions)
+        costs = trajectory_cost(cost_fn, traj, cfg.cost_along_trajectory,
+                                cfg.use_env_reward_as_cost)
+        k_local = min(K, n_local)
+        order = top_k_ascending(costs, k_local)
+        return (jnp.take(actions, order, axis=0), jnp.take(costs, order, axis=0),
+                jnp.take(traj.next_observations[-1], order, axis=0))
+
+    # check_vma=False: same jacfwd-basis typing gap as plan_step_sharded
+    sharded_find = shard_map(
+        local_find, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )
+
+    best_actions = jnp.zeros((cfg.horizon, cfg.action_dim))
+    best_cost = jnp.inf
+    best_last_obs = jnp.zeros_like(obs)
+
+    for _ in range(cfg.opt_iterations):
+        key, k_it = jax.random.split(key)
+        # std clamping (levine bounds) must update the replicated std exactly
+        # as the single-device path does (mpc.py:290-301)
+        _, _, std = _bounds(cfg, mean, std)
+        cand_a, cand_c, cand_o = sharded_find(k_it, mean, std, obs, model_state)
+        cand_c = jnp.where(jnp.isfinite(cand_c), cand_c, jnp.inf)
+
+        best_idx = jnp.argmin(cand_c)
+        best_actions = jnp.take(cand_a, best_idx, axis=0)
+        best_cost = cand_c[best_idx]
+        best_last_obs = jnp.take(cand_o, best_idx, axis=0)
+
+        elite_idx = top_k_ascending(cand_c, K)
+        elites = jnp.take(cand_a, elite_idx, axis=0)
+        mean = (1 - cfg.alpha) * jnp.mean(elites, axis=0) + cfg.alpha * mean
+        std = (1 - cfg.alpha) * jnp.std(elites, axis=0) + cfg.alpha * std
+
+    executed = best_actions[0] if cfg.execute_best_elite else mean[0]
+    if cfg.shift_means:
+        last = jnp.zeros_like(mean[-1:]) if cfg.bounds_like_levine else mean[-1:]
+        mean = jnp.concatenate([mean[1:], last], axis=0)
+    else:
+        mean = _init_mean(cfg) * 0.0
+    std = _init_std(cfg)
+    return CemPlanResult(action=executed, state=CemStdState(mean, std, key),
+                         expected_cost=best_cost, best_actions=best_actions,
+                         best_last_obs=best_last_obs)

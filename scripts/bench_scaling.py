@@ -48,14 +48,15 @@ def bench_devices(n_dev, pop, steps=5):
 
     plan = jax.jit(lambda p, o, s: plan_step_sharded(
         cfg, predict_fn, env.cost_fn, mesh, p, o, s))
-    a, pstate2, c = plan(pstate, obs, state)
-    jax.block_until_ready(a)
+    res = plan(pstate, obs, state)
+    jax.block_until_ready(res.action)
 
     t0 = time.perf_counter()
-    ps = pstate2
+    ps = res.state
     for _ in range(steps):
-        a, ps, c = plan(ps, obs, state)
-    jax.block_until_ready(a)
+        res = plan(ps, obs, state)
+        ps = res.state
+    jax.block_until_ready(res.action)
     dt = (time.perf_counter() - t0) / steps
     traj = sum(cfg.population_schedule) + cfg.elites_kept
     return traj / dt, dt * 1e3

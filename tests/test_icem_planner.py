@@ -215,3 +215,24 @@ def test_open_loop_policy_replay():
         a = single.get_action()
     assert a.shape == (2,)
     np.testing.assert_array_equal(single.get_action(), seq[0, -1, :])
+
+
+def test_top_k_ascending_stable_ties_and_nan_last():
+    """Elite selection contract: (a) exactly-tied costs (sparse-cost envs)
+    select in stable argsort order — lax.top_k's documented lower-index-first
+    tie rule; (b) non-finite costs rank last instead of poisoning the refit."""
+    import jax
+    import numpy as np
+    from icem_tpu.controllers.icem import top_k_ascending
+
+    rng = np.random.default_rng(0)
+    # dense integer ties, the Fetch sparse-cost regime
+    costs = rng.integers(0, 4, 500).astype(np.float32)
+    idx = np.asarray(top_k_ascending(jax.numpy.asarray(costs), 12))
+    ref = np.argsort(costs, kind="stable")[:12]
+    np.testing.assert_array_equal(idx, ref)
+
+    # NaN / inf / -inf must all be deselected while finite rows remain
+    costs = np.array([np.nan, 2.0, -np.inf, 1.0, np.inf, 0.5], np.float32)
+    idx = np.asarray(top_k_ascending(jax.numpy.asarray(costs), 3))
+    np.testing.assert_array_equal(idx, [5, 3, 1])
