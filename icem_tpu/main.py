@@ -78,6 +78,12 @@ def get_controllers(params, env, forward_model):
 
 def run(params) -> dict:
     """One full experiment; returns the accumulated reward dict."""
+    # multi-host entry (env-gated, before the first JAX op): afterwards
+    # jax.devices() spans every host and sharded='auto' planners mesh over
+    # the whole cluster (parallel/multihost.py documents the launch line)
+    from icem_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     model_dir = params.get("model_dir", "results/default")
     os.makedirs(model_dir, exist_ok=True)
     save_settings_to_json(params, model_dir)

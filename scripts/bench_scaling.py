@@ -2,10 +2,15 @@
 
 Measures plan-step throughput at increasing device counts to report the
 scaling-efficiency target of BASELINE.md (>= 80% from 1 host to 2 hosts).
-On a pod slice, launch with jax.distributed:
 
     python scripts/bench_scaling.py                  # all local devices
     BENCH_DEVICES=4 python scripts/bench_scaling.py  # subset
+
+Across hosts, the env-gated jax.distributed bootstrap wires the cluster
+(icem_tpu/parallel/multihost.py has the full 2-host launch line):
+
+    ICEM_MULTIHOST=1 ICEM_COORDINATOR=host0:8476 ICEM_NUM_PROCESSES=2 \
+        ICEM_PROCESS_ID=<0|1> python scripts/bench_scaling.py
 
 Without TPU hardware, run on a CPU-simulated mesh (numbers are NOT
 performance-meaningful, only the collectives/sharding path is exercised):
@@ -63,6 +68,8 @@ def bench_devices(n_dev, pop, steps=5):
 
 
 def main():
+    from icem_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
     # honor a JAX_PLATFORMS request before backend init (the TPU plugin in
     # some images overrides the env var at import time)
     env_platform = os.environ.get("JAX_PLATFORMS") or os.environ.get("JAX_PLATFORM_NAME")
