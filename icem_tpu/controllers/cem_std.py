@@ -288,7 +288,38 @@ class MpcCemStd:
         return {}
 
     def save(self, path):
-        return None
+        """Planner-state serialization; see MpcICem.save (notably preserves
+        the shift_means mid-episode mean, the resume-fidelity case the
+        reference guarantees via pickled controller attrs, mpc.py:75-83)."""
+        import pickle
+        from dataclasses import asdict
+        from icem_tpu.runtime.checkpoint import pack_pytree
+
+        state = {
+            "cfg": asdict(self.cfg),
+            "was_reset": self.was_reset,
+            "pstate": pack_pytree(self._pstate) if self._pstate is not None else None,
+            "model_state": pack_pytree(self._model_state)
+            if self._model_state is not None else None,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
 
     def load(self, path):
-        return None
+        import os
+        import pickle
+        from dataclasses import asdict
+        from icem_tpu.runtime.checkpoint import unpack_pytree
+
+        if not os.path.exists(path):
+            return
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        if state.get("cfg") != asdict(self.cfg):
+            print(f"{type(self).__name__}.load: checkpoint was written with a "
+                  f"different controller config; restoring state anyway")
+        self.was_reset = bool(state.get("was_reset", False))
+        if state.get("pstate") is not None:
+            self._pstate = unpack_pytree(state["pstate"])
+        if state.get("model_state") is not None:
+            self._model_state = unpack_pytree(state["model_state"])

@@ -433,27 +433,91 @@ class MpcICem:
         return diff
 
     def visualize_plan(self, obs, env_state, result: PlanResult):
-        """Plan-replay divergence report (abstract_controller.py:93-128):
-        re-simulate the chosen plan in the real env and report when the final
-        observation misses the model's prediction by more than 0.01."""
+        """Plan-replay divergence report (abstract_controller.py:93-128).
+
+        Modes (``do_visualize_plan``):
+        - True / "last": replay the chosen plan in the real env and report
+          when the FINAL observation misses the model's prediction by > 0.01
+          (abstract_controller.py mode "last"). Returns that norm.
+        - "all": replay the whole plan through BOTH the real env and the
+          forward model, print the FIRST step where they diverge > 0.01 with
+          both observation vectors (abstract_controller.py:118-124). Returns
+          the max per-step divergence.
+        - "record": "all" + write the env replay as a GIF through
+          VideoRecorder (the TPU-native stand-in for the reference's live
+          per-step env.render(), abstract_controller.py:125-126).
+        """
         if env_state is None:
             return None
+        mode = self.do_visualize_plan or "last"
+        if mode is True:
+            mode = "last"
+
         if self._replay is None:
             env_step = self.env.step
+            predict = self._core_fn
+            has_params = self._has_params
 
-            def replay(s0, actions):
-                def body(s, a):
+            def replay(s0, ms0, ob0, actions, params=None):
+                p = partial(predict, params) if has_params else predict
+
+                def env_body(s, a):
                     s2, o2, _, _ = env_step(s, a)
-                    return s2, o2
-                _, obs_seq = jax.lax.scan(body, s0, actions)
-                return obs_seq[-1]
+                    return s2, (s2, o2)
+
+                _, (env_states, env_obs) = jax.lax.scan(env_body, s0, actions)
+
+                def model_body(carry, a):
+                    ms, ob = carry
+                    ms2, ob2, _ = p(ms, ob, a)
+                    return (ms2, ob2), ob2
+
+                _, model_obs = jax.lax.scan(model_body, (ms0, ob0), actions)
+                return env_states, env_obs, model_obs
 
             self._replay = jax.jit(replay)
-        final_obs = self._replay(env_state, result.best_actions)
-        div = float(jnp.linalg.norm(final_obs - result.best_last_obs))
-        if div > 0.01:
-            print(f"plan divergence at horizon end: |env - model| = {div:.5f}")
-        return div
+
+        params = self.forward_model.params if self._has_params else None
+        if self._has_params:
+            env_states, env_obs, model_obs = self._replay(
+                env_state, self._model_state, obs, result.best_actions, params)
+        else:
+            env_states, env_obs, model_obs = self._replay(
+                env_state, self._model_state, obs, result.best_actions)
+
+        if mode == "last":
+            div = float(jnp.linalg.norm(env_obs[-1] - result.best_last_obs))
+            if div > 0.01:
+                print(f"plan divergence at horizon end: |env - model| = {div:.5f}")
+            return div
+
+        env_obs = np.asarray(env_obs)
+        model_obs = np.asarray(model_obs)
+        per_step = np.linalg.norm(env_obs - model_obs, axis=-1)
+        bad = np.nonzero(per_step > 0.01)[0]
+        if bad.size:
+            i = int(bad[0])
+            # the reference's exact report shape (abstract_controller.py:120-124)
+            print(f"simulation for visualization does not match mental model at {i}: ")
+            print("orig: ", model_obs[i])
+            print("simu: ", env_obs[i])
+
+        if mode == "record" and hasattr(self.env, "render_frame"):
+            from icem_tpu.runtime.video import VideoRecorder
+            self._plan_video_counter = getattr(self, "_plan_video_counter", 0) + 1
+            rec = VideoRecorder(getattr(self, "plan_video_dir", "videos"),
+                                f"plan_{self._plan_video_counter:04d}",
+                                fps=self.env.get_fps())
+            states = [jax.tree_util.tree_map(lambda x: x[t], env_states)
+                      for t in range(len(env_obs))]
+            for s in states:
+                frame = self.env.render_frame(s)
+                if frame is not None:
+                    rec.append(frame)
+            path = rec.close()
+            if path:
+                print(f"recorded plan replay: {path}")
+        return float(per_step.max()) if len(per_step) else 0.0
 
     def get_action(self, obs, state=None, mode="train"):
         if not self.was_reset:
@@ -507,7 +571,39 @@ class MpcICem:
         return {}
 
     def save(self, path):
-        return None
+        """Serialize the live planner state (reference controllers pickle
+        their attrs, mpc.py:75-83 / initialization.py:142-162) so a resumed
+        run reproduces the NEXT action exactly: distribution mean/std, elite
+        memory, PRNG key, and the synced model state."""
+        import pickle
+        from dataclasses import asdict
+        from icem_tpu.runtime.checkpoint import pack_pytree
+
+        state = {
+            "cfg": asdict(self.cfg),
+            "was_reset": self.was_reset,
+            "pstate": pack_pytree(self._pstate) if self._pstate is not None else None,
+            "model_state": pack_pytree(self._model_state)
+            if self._model_state is not None else None,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
 
     def load(self, path):
-        return None
+        import os
+        import pickle
+        from dataclasses import asdict
+        from icem_tpu.runtime.checkpoint import unpack_pytree
+
+        if not os.path.exists(path):
+            return
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        if state.get("cfg") != asdict(self.cfg):
+            print(f"{type(self).__name__}.load: checkpoint was written with a "
+                  f"different controller config; restoring state anyway")
+        self.was_reset = bool(state.get("was_reset", False))
+        if state.get("pstate") is not None:
+            self._pstate = unpack_pytree(state["pstate"])
+        if state.get("model_state") is not None:
+            self._model_state = unpack_pytree(state["model_state"])

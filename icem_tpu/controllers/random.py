@@ -69,10 +69,26 @@ class RndController:
         return {}
 
     def save(self, path):
-        return None
+        """Persist the PRNG key + held-action state (resume-fidelity
+        equivalent of the reference's pickled controller attrs)."""
+        import pickle
+        from icem_tpu.runtime.checkpoint import pack_pytree
+        state = {"key": pack_pytree(self._key), "counter": self._counter,
+                 "current": self._current}
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
 
     def load(self, path):
-        return None
+        import os
+        import pickle
+        from icem_tpu.runtime.checkpoint import unpack_pytree
+        if not os.path.exists(path):
+            return
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self._key = unpack_pytree(state["key"])
+        self._counter = int(state["counter"])
+        self._current = state["current"]
 
 
 class MpcRandom:
@@ -171,7 +187,26 @@ class MpcRandom:
         return {}
 
     def save(self, path):
-        return None
+        """Persist the PRNG key + synced model state (see MpcICem.save)."""
+        import pickle
+        from icem_tpu.runtime.checkpoint import pack_pytree
+        state = {
+            "key": pack_pytree(self._key) if self._key is not None else None,
+            "model_state": pack_pytree(self._model_state)
+            if self._model_state is not None else None,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
 
     def load(self, path):
-        return None
+        import os
+        import pickle
+        from icem_tpu.runtime.checkpoint import unpack_pytree
+        if not os.path.exists(path):
+            return
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        if state.get("key") is not None:
+            self._key = unpack_pytree(state["key"])
+        if state.get("model_state") is not None:
+            self._model_state = unpack_pytree(state["model_state"])

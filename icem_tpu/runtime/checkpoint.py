@@ -26,6 +26,44 @@ from typing import Optional
 import numpy as np
 
 
+class _PackedKey:
+    """Pickle-safe wrapper for a typed PRNG key (jax key arrays don't
+    np.asarray); tree_map treats it as a leaf."""
+
+    def __init__(self, data, impl: str):
+        self.data = data
+        self.impl = impl
+
+
+def pack_pytree(tree):
+    """numpy-ify an arbitrary device pytree for pickling (PRNG keys become
+    _PackedKey). Inverse: unpack_pytree."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(x):
+        if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return _PackedKey(np.asarray(jax.random.key_data(x)),
+                              str(jax.random.key_impl(x)))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(f, tree)
+
+
+def unpack_pytree(tree):
+    """Restore a pack_pytree pytree onto the current default device."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(x):
+        if isinstance(x, _PackedKey):
+            return jax.random.wrap_key_data(jnp.asarray(x.data))
+        return jnp.asarray(x)
+
+    return jax.tree_util.tree_map(f, tree,
+                                  is_leaf=lambda x: isinstance(x, _PackedKey))
+
+
 class MainState:
     """Training-loop progress (main.py:57-79)."""
 

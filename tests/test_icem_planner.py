@@ -236,3 +236,64 @@ def test_top_k_ascending_stable_ties_and_nan_last():
     costs = np.array([np.nan, 2.0, -np.inf, 1.0, np.inf, 0.5], np.float32)
     idx = np.asarray(top_k_ascending(jax.numpy.asarray(costs), 3))
     np.testing.assert_array_equal(idx, [5, 3, 1])
+
+
+def test_visualize_plan_all_mode_reports_first_divergence(capsys):
+    """mode 'all' replays the plan through env AND model and prints the
+    first step where they diverge > 0.01 with both observation vectors
+    (reference abstract_controller.py:118-124)."""
+    from icem_tpu.controllers.icem import MpcICem
+    from icem_tpu.envs.classic import ContinuousPendulum
+    from icem_tpu.models.ground_truth import GroundTruthModel
+    import jax.numpy as jnp
+    import numpy as np
+
+    env = ContinuousPendulum()
+    ctrl = MpcICem(env=env, forward_model=GroundTruthModel(env=env),
+                   horizon=8, num_simulated_trajectories=16, seed=3,
+                   do_visualize_plan="all",
+                   action_sampler_params=dict(opt_iterations=2))
+    state = jnp.array([jnp.pi, 0.0])
+    obs = env.observation(state)
+    ctrl.beginning_of_rollout(observation=obs, state=state)
+    ctrl.get_action(np.asarray(obs), state)
+
+    # consistent env/model: no report, ~zero max divergence
+    ms = ctrl.forward_model.got_actual_observation_and_env_state(
+        observation=obs, env_state=state, model_state=None)
+    res = ctrl._plan(ctrl._pstate, obs, ms)
+    ctrl._model_state = ms
+    div = ctrl.visualize_plan(obs, state, res)
+    assert div is not None and div < 1e-4
+    assert "does not match" not in capsys.readouterr().out
+
+    # env started from a perturbed state: diverges immediately, report shows
+    # the first offending index and both vectors
+    div = ctrl.visualize_plan(obs, state + 0.2, res)
+    out = capsys.readouterr().out
+    assert div > 0.01
+    assert "does not match mental model at 0" in out
+    assert "orig: " in out and "simu: " in out
+
+
+def test_visualize_plan_record_mode_writes_gif(tmp_path):
+    from icem_tpu.controllers.icem import MpcICem
+    from icem_tpu.envs import env_from_string
+    from icem_tpu.models.ground_truth import GroundTruthModel
+    import jax
+    import numpy as np
+    import os
+
+    # a planar-engine env: render_frame draws the kinematic skeleton
+    env = env_from_string("Hopper", exclude_current_positions_from_observation=False)
+    ctrl = MpcICem(env=env, forward_model=GroundTruthModel(env=env),
+                   horizon=4, num_simulated_trajectories=8, seed=4,
+                   do_visualize_plan="record",
+                   action_sampler_params=dict(opt_iterations=2))
+    ctrl.plan_video_dir = str(tmp_path)
+    state = env.init_state(jax.random.key(0))
+    obs = env.observation(state)
+    ctrl.beginning_of_rollout(observation=obs, state=state)
+    ctrl.get_action(np.asarray(obs), state)
+    gifs = [f for f in os.listdir(tmp_path) if f.endswith(".gif")]
+    assert gifs, "record mode wrote no plan-replay GIF"
