@@ -25,6 +25,7 @@ import numpy as np
 from icem_tpu.envs.base import BoxSpace, Env
 from icem_tpu.envs.cheetah import HalfCheetah
 from icem_tpu.envs.classic import PointMass
+from icem_tpu.envs.planar_base import PlanarEnv
 from icem_tpu.envs.physics import planar
 from icem_tpu.envs.physics.planar import PlanarModel
 from icem_tpu.envs.reacher import ReacherSuite, RestrictedReacherSuite  # noqa: F401 (factory)
@@ -182,8 +183,11 @@ def make_swimmer_model(n_links: int = 6, link_len: float = 0.1,
     )
 
 
-class SwimmerSuite(Env):
+class SwimmerSuite(PlanarEnv):
     """6-link swimmer chasing a target (dm_suite.py:252-261).
+
+    A PlanarEnv: fluid drag now runs in the batched engine, so population
+    rollouts take the VPU row layout / Pallas kernel fast path.
 
     State = [q (8 = 3 root + 5 joints), qd (8), target_xy (2)].
     Obs (25) = [joint angles (5), nose_to_target (2), per-link
@@ -239,15 +243,10 @@ class SwimmerSuite(Env):
                                 target.reshape(-1, target.shape[-1]))
         return flat.reshape(batch_shape + flat.shape[-1:])
 
-    def step(self, state, action):
-        nd = self._ndof
-        q, qd, target = state[:nd], state[nd:2 * nd], state[2 * nd:]
-        action = jnp.clip(action, -1.0, 1.0)
-        q, qd = planar.step(self.model, q, qd, action)
-        new_state = jnp.concatenate([q, qd, target])
+    def _post_step(self, state, new_state, action):
         obs = self.observation(new_state)
-        reward = -jnp.linalg.norm(obs[5:7])
-        return new_state, obs, reward, jnp.float32(0.0)
+        reward = -jnp.linalg.norm(obs[..., 5:7], axis=-1)
+        return obs, reward, jnp.float32(0.0)
 
     def cost_fn(self, states, actions, next_states):
         return jnp.linalg.norm(states[..., -20:-18], axis=-1)

@@ -19,8 +19,9 @@ Division of labor per control step (numerics identical to planar.step):
   spring/limit torques, motor speed limit, M qd product and triangular
   solves, semi-implicit integration.
 
-Supported models: free_root planar trees without fluid drag (HalfCheetah,
-Hopper, Ant, humanoids). Callers fall back to vmap(planar.step) otherwise.
+Supported models: every PlanarModel — free planar roots (HalfCheetah,
+Hopper, Ant, humanoids, swimmer) and hinge roots (reacher arms, pendula),
+with or without anisotropic fluid drag.
 """
 
 from __future__ import annotations
@@ -34,7 +35,10 @@ from icem_tpu.envs.physics.planar import PlanarModel
 
 
 def supports_batched(model: PlanarModel) -> bool:
-    return bool(model.free_root) and len(model.drag_normal) == 0
+    """The batched engine now covers the full PlanarModel feature set (hinge
+    roots and fluid drag landed in round 2); kept as a hook for future model
+    features the hand-derived path might lag behind."""
+    return True
 
 
 def _ancestors(model: PlanarModel):
@@ -50,15 +54,20 @@ def _ancestors(model: PlanarModel):
 
 
 def _hinge_ancestors(model: PlanarModel, chains):
-    """Per body: [(dof_j, joint_body_c), ...] — root rotation + joint chain.
+    """Per body: [(dof_j, joint_body_c), ...] — rotational dofs on the chain.
 
     Column j of any point-Jacobian on body b is perp(p - o_c) for each such
-    pair; everything below (contacts, mass matrix, gravity, Coriolis) is
-    assembled from these."""
+    pair; everything below (contacts, drag, mass matrix, gravity, Coriolis)
+    is assembled from these. Free roots contribute a root-rotation dof (2)
+    about the root origin; hinge roots make EVERY chain body (including the
+    root) a hinge."""
     out = []
     for b in range(model.nbody):
-        out.append([(2, 0)] + [(model.dof_of_body(c), c)
-                               for c in chains[b] if c != 0])
+        if model.free_root:
+            out.append([(2, 0)] + [(model.dof_of_body(c), c)
+                                   for c in chains[b] if c != 0])
+        else:
+            out.append([(model.dof_of_body(c), c) for c in chains[b]])
     return out
 
 
@@ -68,9 +77,16 @@ def _fk_core(model: PlanarModel, q):
     ox, oz, ang, cs, sn = [], [], [], [], []
     for b in range(model.nbody):
         if b == 0:
-            a = q[2]
-            x = q[0] + anchors[0, 0]
-            z = q[1] + anchors[0, 1]
+            if model.free_root:
+                a = q[2]
+                x = q[0] + anchors[0, 0]
+                z = q[1] + anchors[0, 1]
+            else:
+                # world-fixed hinge root: origin is a constant (broadcasts
+                # against the batched scalars downstream)
+                a = q[0]
+                x = float(anchors[0, 0])
+                z = float(anchors[0, 1])
         else:
             pa = model.parent[b]
             a = ang[pa] + q[model.dof_of_body(b)]
@@ -124,10 +140,12 @@ def mass_bias_batched(model: PlanarModel, q, qd, chains=None):
     cz = [oz[b] + sn[b] * com_l[b, 0] + cs[b] * com_l[b, 1]
           for b in range(model.nbody)]
 
-    # per body: J columns as [(dof, jx, jz), ...]; translations are constants
+    # per body: J columns as [(dof, jx, jz), ...]; free-root translations are
+    # identity constants, hinge roots have rotational columns only
+    free = bool(model.free_root)
     cols = []
     for b in range(model.nbody):
-        c_b = [(0, 1.0, 0.0), (1, 0.0, 1.0)]
+        c_b = [(0, 1.0, 0.0), (1, 0.0, 1.0)] if free else []
         for j, c in hinges[b]:
             c_b.append((j, -(cz[b] - oz[c]), cx[b] - ox[c]))
         cols.append(c_b)
@@ -151,7 +169,7 @@ def mass_bias_batched(model: PlanarModel, q, qd, chains=None):
 
     # ---- velocities of joint origins and COMs ------------------------------
     def point_vel(px_, pz_, hinge_list):
-        vx, vz = qd[0], qd[1]
+        vx, vz = (qd[0], qd[1]) if free else (0.0, 0.0)
         for j, c in hinge_list:
             vx = vx - qd[j] * (pz_ - oz[c])
             vz = vz + qd[j] * (px_ - ox[c])
@@ -160,8 +178,9 @@ def mass_bias_batched(model: PlanarModel, q, qd, chains=None):
     vox, voz = [], []
     for b in range(model.nbody):
         if b == 0:
-            vox.append(qd[0])
-            voz.append(qd[1])
+            # free root: origin rides the translation dofs; hinge root: fixed
+            vox.append(qd[0] if free else 0.0)
+            voz.append(qd[1] if free else 0.0)
         else:
             # the joint pivot moves with the PARENT body's chain
             vx, vz = point_vel(ox[b], oz[b], hinges[model.parent[b]])
@@ -178,8 +197,9 @@ def mass_bias_batched(model: PlanarModel, q, qd, chains=None):
         for j, c in hinges[b]:
             ax = ax - qd[j] * (vcz - voz[c])
             az = az + qd[j] * (vcx - vox[c])
-        bias[0] = bias[0] + m_b * ax
-        bias[1] = bias[1] + m_b * (az + g)   # gravity: dV/dq_z = g * m_b
+        if free:
+            bias[0] = bias[0] + m_b * ax
+            bias[1] = bias[1] + m_b * (az + g)  # gravity: dV/dq_z = g * m_b
         for j, c in hinges[b]:
             jx = -(cz[b] - oz[c])
             jz = cx[b] - ox[c]
@@ -198,12 +218,12 @@ def _contact_tau(model: PlanarModel, q, qd, chains):
     ox, oz, ang, px, pz = _fk_batched(model, q)
     radius = np.asarray(model.geom_radius, np.float64)
     all_hinges = _hinge_ancestors(model, chains)
+    free = bool(model.free_root)
     tau = [0.0] * model.ndof
     for g, b in enumerate(model.geom_body):
         hinges = all_hinges[b]
         # geom point velocity via J qd
-        vx = qd[0]
-        vz = qd[1]
+        vx, vz = (qd[0], qd[1]) if free else (0.0, 0.0)
         for j, c in hinges:
             dx = px[g] - ox[c]
             dz = pz[g] - oz[c]
@@ -217,12 +237,57 @@ def _contact_tau(model: PlanarModel, q, qd, chains):
         ft = -jnp.clip(model.friction_kt * vx,
                        -model.friction_mu * fn, model.friction_mu * fn)
         # J^T f accumulation
-        tau[0] = tau[0] + ft
-        tau[1] = tau[1] + fn
+        if free:
+            tau[0] = tau[0] + ft
+            tau[1] = tau[1] + fn
         for j, c in hinges:
             dx = px[g] - ox[c]
             dz = pz[g] - oz[c]
             tau[j] = tau[j] + (-dz * ft + dx * fn)
+    return tau
+
+
+def _drag_tau(model: PlanarModel, q, qd, chains):
+    """Anisotropic viscous fluid drag as batched scalars.
+
+    Matches planar.fluid_drag_forces: each body feels a COM force decomposed
+    in its body frame (tangent (cs, sn), normal (-sn, cs)) plus rotational
+    damping; generalized forces via the same COM point-Jacobian columns as
+    the mass matrix, and the torque enters every rotational ancestor dof
+    (d angle_b / d q_j = 1 on the hinge chain).
+    """
+    cn = np.asarray(model.drag_normal, np.float64)
+    ct = np.asarray(model.drag_tangent, np.float64)
+    ca = np.asarray(model.drag_angular, np.float64)
+    hinges_all = _hinge_ancestors(model, chains)
+    com_l = np.asarray(model.com, np.float64)
+    free = bool(model.free_root)
+    ox, oz, cs, sn = _fk_core(model, q)
+
+    tau = [0.0] * model.ndof
+    for b in range(model.nbody):
+        hinges = hinges_all[b]
+        cx = ox[b] + cs[b] * com_l[b, 0] - sn[b] * com_l[b, 1]
+        cz = oz[b] + sn[b] * com_l[b, 0] + cs[b] * com_l[b, 1]
+        # COM velocity via J qd, angular velocity = sum of chain rates
+        vcx, vcz = (qd[0], qd[1]) if free else (0.0, 0.0)
+        vang = 0.0
+        for j, c in hinges:
+            vcx = vcx - qd[j] * (cz - oz[c])
+            vcz = vcz + qd[j] * (cx - ox[c])
+            vang = vang + qd[j]
+        vt = vcx * cs[b] + vcz * sn[b]
+        vn = -vcx * sn[b] + vcz * cs[b]
+        fx = -(ct[b] * vt * cs[b] - cn[b] * vn * sn[b])
+        fz = -(ct[b] * vt * sn[b] + cn[b] * vn * cs[b])
+        torque = -ca[b] * vang
+        if free:
+            tau[0] = tau[0] + fx
+            tau[1] = tau[1] + fz
+        for j, c in hinges:
+            jx = -(cz - oz[c])
+            jz = cx - ox[c]
+            tau[j] = tau[j] + jx * fx + jz * fz + torque
     return tau
 
 
@@ -337,17 +402,23 @@ def step_rows(model: PlanarModel, q, qd, ctrl_rows, chains=None):
     omega_max = float(model.motor_omega_max)
     finite_motor = np.isfinite(omega_max)
 
+    has_drag = len(model.drag_normal) > 0
+
     def substep(carry, _):
         q, qd = carry
         tau_c = _contact_tau(model, q, qd, chains)
         tau_s = _spring_tau(model, q)
+        tau_d = _drag_tau(model, q, qd, chains) if has_drag else None
         rhs = []
         for j in range(n):
             t = tau_ctrl[j]
             if finite_motor and not isinstance(t, float):
                 speed = jnp.clip(1.0 - qd[j] * jnp.sign(t) / omega_max, 0.0, 1.0)
                 t = t * speed
-            rhs.append(t + tau_s[j] + tau_c[j] - bias_r[j])
+            r = t + tau_s[j] + tau_c[j] - bias_r[j]
+            if has_drag:
+                r = r + tau_d[j]
+            rhs.append(r)
         # b = M qd + dt * rhs
         b = []
         for i in range(n):

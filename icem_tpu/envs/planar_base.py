@@ -95,19 +95,10 @@ class PlanarEnv(Env):
         use_pallas = (pallas_available() and P >= BLOCK
                       and fits_vmem(h, nd, acts.shape[2]))
 
-        align = BLOCK if use_pallas else 8
-        pad = (-P) % align
-        Pp = P + pad
-        st = jnp.concatenate([states, states[-pad:]], axis=0) if pad else states
-        ap = jnp.concatenate([acts, acts[-pad:]], axis=0) if pad else acts
-
-        if use_pallas:
-            # the whole h x n_substeps rollout runs VMEM-resident in one
-            # Pallas program per trajectory block (ops/planar_rollout.py)
-            qs, qds = rollout_planar_pallas(
-                self.model, st[:, :nd], st[:, nd: 2 * nd], ap)
-            qs, qds = qs[:, :P], qds[:, :P]
-        else:
+        def xla_rows(st, ap):
+            """XLA row-scan rollout on a population slice (multiple of 8).
+            Returns (qs, qds) as [h, Psub, nd]."""
+            Pp = st.shape[0]
             B = (8, Pp // 8)
             q = batched.rows_from_cols(st[:, :nd], B)
             qd = batched.rows_from_cols(st[:, nd: 2 * nd], B)
@@ -122,10 +113,38 @@ class PlanarEnv(Env):
                 q2, qd2 = batched.step_rows(self.model, q_, qd_, a_list, chains)
                 return (q2, qd2), (jnp.stack(q2), jnp.stack(qd2))
 
-            (qf, qdf), (qs, qds) = jax.lax.scan(body, (q, qd), a_rows_tm)
-            # [h, nd, 8, L] -> [h, P, nd] (one relayout per tensor)
-            qs = jnp.transpose(qs.reshape(h, nd, Pp), (0, 2, 1))[:, :P]
-            qds = jnp.transpose(qds.reshape(h, nd, Pp), (0, 2, 1))[:, :P]
+            _, (qs, qds) = jax.lax.scan(body, (q, qd), a_rows_tm)
+            # [h, nd, 8, L] -> [h, Psub, nd] (one relayout per tensor)
+            qs = jnp.transpose(qs.reshape(h, nd, Pp), (0, 2, 1))
+            qds = jnp.transpose(qds.reshape(h, nd, Pp), (0, 2, 1))
+            return qs, qds
+
+        if use_pallas:
+            # full blocks run VMEM-resident in one Pallas program per block
+            # (ops/planar_rollout.py); the sub-BLOCK tail goes through the
+            # XLA row-scan instead of padding the whole population up to the
+            # next BLOCK multiple (up to 1023 wasted rollouts per plan)
+            P_full = (P // BLOCK) * BLOCK
+            qs, qds = rollout_planar_pallas(
+                self.model, states[:P_full, :nd],
+                states[:P_full, nd: 2 * nd], acts[:P_full])
+            tail = P - P_full
+            if tail:
+                tpad = (-tail) % 8
+                t_st = states[P_full:]
+                t_ap = acts[P_full:]
+                if tpad:
+                    t_st = jnp.concatenate([t_st, t_st[-tpad:]], axis=0)
+                    t_ap = jnp.concatenate([t_ap, t_ap[-tpad:]], axis=0)
+                qs_t, qds_t = xla_rows(t_st, t_ap)
+                qs = jnp.concatenate([qs, qs_t[:, :tail]], axis=1)
+                qds = jnp.concatenate([qds, qds_t[:, :tail]], axis=1)
+        else:
+            pad = (-P) % 8
+            st = jnp.concatenate([states, states[-pad:]], axis=0) if pad else states
+            ap = jnp.concatenate([acts, acts[-pad:]], axis=0) if pad else acts
+            qs, qds = xla_rows(st, ap)
+            qs, qds = qs[:, :P], qds[:, :P]
         extra = states[:, 2 * nd:]
         extra_seq = jnp.broadcast_to(extra, (h,) + extra.shape)
         next_states = jnp.concatenate([qs, qds, extra_seq], axis=2)

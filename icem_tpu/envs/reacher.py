@@ -18,9 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from icem_tpu.envs.base import BoxSpace, Env
+from icem_tpu.envs.base import BoxSpace
 from icem_tpu.envs.physics import planar
 from icem_tpu.envs.physics.planar import PlanarModel
+from icem_tpu.envs.planar_base import PlanarEnv
 
 
 def make_arm_model(l1: float, l2: float, dt: float, n_substeps: int,
@@ -48,8 +49,13 @@ def make_arm_model(l1: float, l2: float, dt: float, n_substeps: int,
     )
 
 
-class TwoLinkArm(Env):
-    """Shared dynamics. State = [q1, q2, qd1, qd2, target_x, target_y]."""
+class TwoLinkArm(PlanarEnv):
+    """Shared dynamics. State = [q1, q2, qd1, qd2, target_x, target_y].
+
+    A PlanarEnv: the hinge-root batched engine (envs/physics/batched.py)
+    and the Pallas rollout kernel serve the planner's population rollouts;
+    physics goes through PlanarEnv._physics.
+    """
 
     l1 = 0.1
     l2 = 0.11
@@ -75,13 +81,6 @@ class TwoLinkArm(Env):
         radius = jax.random.uniform(k2, (), minval=self.target_radius_range[0],
                                     maxval=self.target_radius_range[1])
         return jnp.stack([radius * jnp.sin(angle), radius * jnp.cos(angle)])
-
-    def _dynamics(self, state, action):
-        q, qd, target = state[:2], state[2:4], state[4:6]
-        action = jnp.clip(action, -1.0, 1.0)
-        q, qd = planar.step(self.model, q, qd, action)
-        return jnp.concatenate([q, qd, target])
-
 
 class Reacher(TwoLinkArm):
     """Gym-flavor Reacher (reference mujoco.py:346-368)."""
@@ -110,12 +109,11 @@ class Reacher(TwoLinkArm):
             diff, zeros,
         ], axis=-1)
 
-    def step(self, state, action):
-        new_state = self._dynamics(state, action)
+    def _post_step(self, state, new_state, action):
         obs = self.observation(new_state)
         dist = jnp.linalg.norm(obs[..., -3:], axis=-1)
         reward = -dist - jnp.sum(jnp.square(action))
-        return new_state, obs, reward, jnp.float32(0.0)
+        return obs, reward, jnp.float32(0.0)
 
     def state_from_observation(self, observation):
         theta1 = jnp.arctan2(observation[..., 2], observation[..., 0])
@@ -155,11 +153,10 @@ class ReacherSuite(TwoLinkArm):
         to_target = target - self.fingertip(q)
         return jnp.concatenate([q, to_target, qd], axis=-1)
 
-    def step(self, state, action):
-        new_state = self._dynamics(state, action)
+    def _post_step(self, state, new_state, action):
         obs = self.observation(new_state)
         dist = jnp.linalg.norm(obs[..., 2:4], axis=-1)
-        return new_state, obs, -dist, jnp.float32(0.0)
+        return obs, -dist, jnp.float32(0.0)
 
     def cost_fn(self, states, actions, next_states):
         return jnp.linalg.norm(states[..., 2:4], axis=-1)

@@ -1,0 +1,121 @@
+"""Per-config control-quality table: the round artifact for BASELINE.md's
+Reporting row.
+
+Runs every shipped settings/* experiment through the PRODUCT path
+(icem_tpu.main.run -> factories -> fused episodes) and records, per config:
+final-iteration mean return, success rate (goal envs), solve metric (where
+the config defines one), and wall-clock episode throughput. Learned-model
+configs (ensemble / RSSM) are truncated to a few training iterations unless
+ICEM_QUALITY_FULL=1 — the table documents the truncation.
+
+    python scripts/quality_table.py                 # all configs
+    CONFIGS=pendulum/i-cem-blitz python scripts/quality_table.py
+
+Writes results/QUALITY_r<N>.json (round number from ICEM_ROUND, default 2)
+and prints the JSON to stdout.
+"""
+
+import glob
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# learned-model configs train for many iterations; cap them for the table
+TRUNCATE_ITERS = {
+    "halfcheetah_running/ensemble-icem": 3,
+    "pendulum/ensemble-icem": 5,
+    "planet/cartpole_swingup": 2,
+    "planet/cheetah_run": 2,
+    "planet/reacher_easy": 2,
+}
+
+
+def run_config(path: str, out_root: str):
+    from icem_tpu.main import run
+    from icem_tpu.runtime.config import resolve_settings
+
+    name = os.path.relpath(path, os.path.join(REPO, "settings"))[:-len(".json")]
+    params = resolve_settings(path)
+    over = {"model_dir": os.path.join(out_root, name.replace("/", "_")),
+            "checkpoints": {"load": False, "save": False}}
+    truncated = None
+    if name in TRUNCATE_ITERS and not os.environ.get("ICEM_QUALITY_FULL"):
+        truncated = TRUNCATE_ITERS[name]
+        over["training_iterations"] = truncated
+    elif int(params.training_iterations) < 2:
+        # at least two iterations so steady-state throughput excludes compile
+        over["training_iterations"] = 2
+    params = resolve_settings({**params.get_pickleable(), **over})
+
+    t0 = time.time()
+    info = run(params)
+    wall = time.time() - t0
+
+    th = params.rollout_params.get("task_horizon", 200)
+    n_roll = params.get("number_of_rollouts", 1)
+    iters = len(info.get("step", []))
+    # steady-state throughput: iteration 0 pays the one-time XLA compile of
+    # the fused episode, so rate from the later iterations when available
+    exec_times = info.get("train_exec_time", [])
+    steady = exec_times[1:] if len(exec_times) > 1 else exec_times
+    steps_per_s = (n_roll * th / (sum(steady) / len(steady))) if steady else None
+    row = {
+        "env": params.env,
+        "controller": params.controller,
+        "forward_model": params.forward_model,
+        "task_horizon": th,
+        "iterations_run": iters,
+        "final_mean_return": round(float(info["train_mean_return"][-1]), 2),
+        "best_mean_return": round(float(max(info["train_mean_return"])), 2),
+        "wall_s": round(wall, 1),
+        "compile_s": round(float(exec_times[0]), 1) if exec_times else None,
+        "env_steps_per_s": round(steps_per_s, 1) if steps_per_s else None,
+    }
+    if truncated is not None:
+        row["truncated_to_iters"] = truncated
+    if "train_mean_success" in info:
+        row["final_mean_success"] = round(float(info["train_mean_success"][-1]), 3)
+    if "required_iterations_to_solve" in info:
+        solve_at = int(info["required_iterations_to_solve"][-1])
+        row["solved"] = bool(solve_at < params.training_iterations)
+        row["solved_at_iteration"] = solve_at
+    return name, row
+
+
+def main():
+    only = os.environ.get("CONFIGS")
+    out_root = os.path.join(REPO, "results", "quality_runs")
+    round_no = int(os.environ.get("ICEM_ROUND", "2"))
+    table = {}
+    configs = sorted(glob.glob(os.path.join(REPO, "settings", "*", "*.json")))
+    configs = [c for c in configs if "/defaults/" not in c
+               and not c.endswith("/defaults.json")]
+    if only:
+        keys = only.split(",")
+        configs = [c for c in configs if any(k in c for k in keys)]
+    for path in configs:
+        name = os.path.relpath(path, os.path.join(REPO, "settings"))[:-len(".json")]
+        print(f"=== {name}", file=sys.stderr, flush=True)
+        try:
+            name, row = run_config(path, out_root)
+        except Exception as e:
+            traceback.print_exc()
+            row = {"error": f"{type(e).__name__}: {e}"}
+        table[name] = row
+        print(json.dumps({name: row}), file=sys.stderr, flush=True)
+        # incremental save so a partial run still leaves an artifact
+        out_path = os.path.join(REPO, "results", f"QUALITY_r{round_no:02d}.json")
+        with open(out_path, "w") as f:
+            json.dump({"metric": "per_config_control_quality",
+                       "configs": table}, f, indent=1)
+    print(json.dumps({"metric": "per_config_control_quality", "configs": table}))
+
+
+if __name__ == "__main__":
+    main()

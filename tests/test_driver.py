@@ -68,6 +68,7 @@ def test_checkpoint_resume_continues_iteration(tmp_path):
     assert info["step"] == [0, 1, 2, 3]  # full history restored + extended
 
 
+@pytest.mark.slow
 def test_elastic_restart_window(tmp_path):
     """restart_every_n_iter caps the iterations per launch
     (main.py:165-170, initialization.py:61-64)."""

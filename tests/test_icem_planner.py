@@ -276,6 +276,7 @@ def test_visualize_plan_all_mode_reports_first_divergence(capsys):
     assert "orig: " in out and "simu: " in out
 
 
+@pytest.mark.slow
 def test_visualize_plan_record_mode_writes_gif(tmp_path):
     from icem_tpu.controllers.icem import MpcICem
     from icem_tpu.envs import env_from_string

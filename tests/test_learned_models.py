@@ -134,6 +134,7 @@ def test_ensemble_save_load_roundtrip(pendulum_data, tmp_path):
     np.testing.assert_allclose(float(r1), float(r2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_rssm_elbo_improves_and_plans(pendulum_data):
     env, buf = pendulum_data
     model = RSSMModel(env=env, stoch_dim=8, det_dim=32, hidden=32, embed_dim=16,
