@@ -92,7 +92,13 @@ def main():
     only = os.environ.get("CONFIGS")
     out_root = os.path.join(REPO, "results", "quality_runs")
     round_no = int(os.environ.get("ICEM_ROUND", "2"))
+    out_path = os.path.join(REPO, "results", f"QUALITY_r{round_no:02d}.json")
     table = {}
+    if os.path.exists(out_path):
+        # merge: partial re-runs (e.g. after a config fix or a transient
+        # tunnel error) update their rows without dropping the rest
+        with open(out_path) as f:
+            table = json.load(f).get("configs", {})
     configs = sorted(glob.glob(os.path.join(REPO, "settings", "*", "*.json")))
     configs = [c for c in configs if "/defaults/" not in c
                and not c.endswith("/defaults.json")]
@@ -110,7 +116,6 @@ def main():
         table[name] = row
         print(json.dumps({name: row}), file=sys.stderr, flush=True)
         # incremental save so a partial run still leaves an artifact
-        out_path = os.path.join(REPO, "results", f"QUALITY_r{round_no:02d}.json")
         with open(out_path, "w") as f:
             json.dump({"metric": "per_config_control_quality",
                        "configs": table}, f, indent=1)
