@@ -143,6 +143,7 @@ class FetchPickAndPlace(_FetchBase):
     has_object = True
     GRASP_DIST = 0.04      # EE-object distance below which closing grasps
     GRIP_CLOSED = 0.03     # finger opening below which the object is held
+    CONTACT_DIST = 0.05    # EE-object overlap radius for pushing contact
 
     def __init__(self, *, sparse: bool, threshold: float = 0.05,
                  fixed_object_pos=None, fixed_goal=None,
@@ -207,6 +208,20 @@ class FetchPickAndPlace(_FetchBase):
         free_vel = obj_vel.at[2].add(-9.81 * self.dt)
         free_vel = free_vel * jnp.array([0.8, 0.8, 1.0])  # table friction
         free_pos = obj + free_vel * self.dt
+
+        # EE pushing contact: the gripper body displaces a free object it
+        # sweeps through (the MuJoCo-contact behavior the gym env relies on).
+        # Without this the box can only ever move via an exact grasp, and
+        # the reference's dense-but-unshaped cost (robotics.py:150-164,
+        # settings/fpp: shaped_reward=false) gives the planner ZERO gradient
+        # — nudging the box is how iCEM discovers manipulation.
+        delta = free_pos - new_ee
+        dist = jnp.linalg.norm(delta)
+        dirn = delta / jnp.maximum(dist, 1e-8)
+        pen = jnp.maximum(self.CONTACT_DIST - dist, 0.0)
+        free_pos = free_pos + dirn * pen
+        free_vel = free_vel + dirn * pen / self.dt
+
         on_table = free_pos[2] <= TABLE_HEIGHT + OBJ_HALF_HEIGHT
         free_pos = free_pos.at[2].set(
             jnp.maximum(free_pos[2], TABLE_HEIGHT + OBJ_HALF_HEIGHT))

@@ -203,3 +203,59 @@ def test_filter_buffers_by_cost():
     costs = costs * 4
     out = Env.filter_buffers_by_cost(buffers, costs, 0.5)
     assert all(len(o["rewards"]) == 2 for o in out)  # 2 lowest-cost indices
+
+
+def test_fpp_ee_pushes_free_object():
+    """The gripper body displaces a free object it sweeps through — the
+    MuJoCo-contact behavior that gives the reference's unshaped dense cost
+    (robotics.py:150-164) a gradient. Without it, pick-and-place is
+    unplannable (round-2 find: 0% success on the shipped fpp config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icem_tpu.envs import env_from_string
+
+    env = env_from_string("FetchPickAndPlace", sparse=False, threshold=0.05,
+                          shaped_reward=False)
+    state = env.init_state(jax.random.key(0))
+    obj0 = state[4:7]
+    step = jax.jit(env.step)
+    s = state
+    for _ in range(12):
+        d = s[4:7] - s[:3]
+        a = jnp.concatenate([10 * d / jnp.maximum(jnp.linalg.norm(d), 1e-6),
+                             jnp.zeros(1)])
+        s, _, _, _ = step(s, a)
+    moved = float(jnp.linalg.norm(s[4:7] - obj0))
+    assert moved > 0.05, f"EE sweep did not displace the object ({moved})"
+    # object stays supported by the table
+    assert float(s[6]) >= 0.425
+
+
+@pytest.mark.slow
+def test_fpp_icem_picks_and_places():
+    """iCEM solves pick-and-place through the product cost (dense, unshaped,
+    reference fpp config semantics) once pushing contact exists."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from icem_tpu.controllers.icem import MpcICem
+    from icem_tpu.envs import env_from_string
+    from icem_tpu.models.ground_truth import GroundTruthModel
+
+    env = env_from_string("FetchPickAndPlace", sparse=False, threshold=0.05,
+                          shaped_reward=False)
+    ctrl = MpcICem(env=env, forward_model=GroundTruthModel(env=env),
+                   horizon=20, num_simulated_trajectories=64, seed=5,
+                   action_sampler_params=dict(noise_beta=3.0))
+    s = env.init_state(jax.random.key(2))
+    obs = env.observation(s)
+    d0 = float(jnp.linalg.norm(s[4:7] - s[11:14]))
+    ctrl.beginning_of_rollout(observation=obs, state=s)
+    step = jax.jit(env.step)
+    for _ in range(50):
+        a = ctrl.get_action(np.asarray(obs), s)
+        s, obs, _, _ = step(s, jnp.asarray(a))
+    d1 = float(jnp.linalg.norm(s[4:7] - s[11:14]))
+    assert d1 < 0.05, f"box->goal distance {d0:.3f} -> {d1:.3f}, not solved"
