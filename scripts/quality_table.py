@@ -44,6 +44,17 @@ def run_config(path: str, out_root: str):
     params = resolve_settings(path)
     over = {"model_dir": os.path.join(out_root, name.replace("/", "_")),
             "checkpoints": {"load": False, "save": False}}
+    rp_over = {}
+    if os.environ.get("ICEM_QUALITY_NO_FUSE"):
+        # escape hatch for configs whose fused-episode program crashes the
+        # axon remote-compile worker: host-driven episodes, jitted plan steps
+        rp_over["fuse_on_device"] = False
+    if os.environ.get("ICEM_QUALITY_TH"):
+        # truncated episodes for very slow table entries (documented in-row)
+        rp_over["task_horizon"] = int(os.environ["ICEM_QUALITY_TH"])
+    if rp_over:
+        over["rollout_params"] = {**params.rollout_params.get_pickleable(),
+                                  **rp_over}
     truncated = None
     if name in TRUNCATE_ITERS and not os.environ.get("ICEM_QUALITY_FULL"):
         truncated = TRUNCATE_ITERS[name]
@@ -79,6 +90,10 @@ def run_config(path: str, out_root: str):
     }
     if truncated is not None:
         row["truncated_to_iters"] = truncated
+    if os.environ.get("ICEM_QUALITY_TH"):
+        row["truncated_task_horizon"] = int(os.environ["ICEM_QUALITY_TH"])
+    if os.environ.get("ICEM_QUALITY_NO_FUSE"):
+        row["unfused_episodes"] = True
     if "train_mean_success" in info:
         row["final_mean_success"] = round(float(info["train_mean_success"][-1]), 3)
     if "required_iterations_to_solve" in info:
