@@ -21,6 +21,13 @@ TPU-first design:
   is decorrelated per trajectory by folding in the action bits (trajectories
   taking identical actions see identical draws — harmless; everything else
   decorrelates from step one).
+- ``deterministic=True`` by default: members are still TS1-sampled but the
+  per-step Gaussian draw is off. On the deterministic benchmark envs the
+  aleateric noise compounds over the horizon and CEM's max-bias then
+  selects LUCKY noise realizations — measured on pendulum: stochastic
+  imagination plateaus at tail cost ~5.4 where deterministic propagation
+  reaches ~0.04 with the identical trained model. Stochastic propagation
+  stays available (``deterministic: false``) for genuinely noisy dynamics.
 """
 
 from __future__ import annotations
@@ -89,7 +96,7 @@ class EnsembleModel(ForwardModel):
     needs_training = True
 
     def __init__(self, *, env, ensemble_size: int = 5, hidden: Sequence[int] = (200, 200, 200),
-                 propagation: str = "ts1", deterministic: bool = False,
+                 propagation: str = "ts1", deterministic: bool = True,
                  learning_rate: float = 1e-3, weight_decay: float = 1e-5,
                  batch_size: int = 256, epochs: int = 20, bootstrap: bool = True,
                  logvar_bound_weight: float = 0.01, seed: Optional[int] = None,
