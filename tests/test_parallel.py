@@ -322,3 +322,37 @@ def test_mpc_cem_std_sharded_controller_steps():
     ctrl.beginning_of_rollout(observation=obs, state=state)
     a = ctrl.get_action(np.asarray(obs), state)
     assert a.shape == (2,) and np.all(np.isfinite(a))
+
+
+def test_mpc_icem_sharded_with_learned_model():
+    """Learned-model weights thread through the sharded plan as replicated
+    runtime args (config-reachable: the ensemble configs inherit
+    sharded='auto', so a multi-chip host runs exactly this path)."""
+    from icem_tpu.controllers.icem import MpcICem
+    from icem_tpu.models.ensemble import EnsembleModel
+
+    env = ContinuousPendulum()
+    fm = EnsembleModel(env=env, ensemble_size=2, hidden=[16], epochs=1,
+                       batch_size=32, seed=0)
+    ctrl = MpcICem(env=env, forward_model=fm, horizon=6,
+                   num_simulated_trajectories=16,
+                   action_sampler_params={"opt_iterations": 2},
+                   sharded=True, seed=4)
+    assert ctrl._mesh is not None and ctrl._mesh.devices.size == 8
+
+    state = jnp.array([np.pi, 0.0])
+    obs = env.observation(state)
+    ctrl.beginning_of_rollout(observation=obs, state=None)  # learned: no env state
+    a = ctrl.get_action(np.asarray(obs), None)
+    assert a.shape == (1,) and np.all(np.isfinite(a))
+    # after (re)training, the NEW params flow through the jitted sharded plan
+    from icem_tpu.runtime.buffer import Rollout, RolloutBuffer
+    rng = np.random.default_rng(0)
+    o = rng.normal(size=(64, 3)).astype(np.float32)
+    buf = RolloutBuffer(rollouts=[Rollout(data=dict(
+        observations=o, next_observations=o + 0.01,
+        actions=rng.normal(size=(64, 1)).astype(np.float32),
+        rewards=np.zeros(64, np.float32), dones=np.zeros(64, np.float32)))])
+    fm.train(buf)
+    a2 = ctrl.get_action(np.asarray(obs), None)
+    assert np.all(np.isfinite(a2))
