@@ -30,7 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TRUNCATE_ITERS = {
     "halfcheetah_running/ensemble-icem": 3,
     "pendulum/ensemble-icem": 5,
-    "planet/cartpole_swingup": 2,
+    "planet/cartpole_swingup": 10,
     "planet/cheetah_run": 2,
     "planet/reacher_easy": 2,
 }
