@@ -172,7 +172,10 @@ def plan_step(cfg: CemStdConfig, predict_fn, cost_fn, pstate: CemStdState, obs,
                          best_last_obs=best_last_obs)
 
 
-class MpcCemStd:
+from icem_tpu.controllers.mpc_common import ModelConsistencyMixin
+
+
+class MpcCemStd(ModelConsistencyMixin):
     """Host-side wrapper with the reference Controller API (mpc.py:142-327)."""
 
     needs_training = False
@@ -185,6 +188,13 @@ class MpcCemStd:
                  cost_along_trajectory="sum", use_env_reward_as_cost=False,
                  verbose=False, do_visualize_plan=False, seed: Optional[int] = None,
                  sharded=False, **kwargs):
+        if float(factor_decrease_num) != 1.0:
+            # vanilla CEM has no population decay; a non-1 value here is a
+            # config meant for mpc-icem that would otherwise degrade silently
+            raise ValueError(
+                f"factor_decrease_num={factor_decrease_num} has no effect on "
+                f"mpc-cem-std (no population decay) — use mpc-icem, or drop "
+                f"the key")
         asp = dict(action_sampler_params or {})
         _validate_sampler_params(asp, ("alpha", "elites_size", "opt_iterations",
                                        "init_std", "execute_best_elite",
@@ -250,6 +260,8 @@ class MpcCemStd:
         if not self.was_reset:
             raise AttributeError("beginning_of_rollout() needs to be called before")
         obs = jnp.asarray(obs, jnp.float32)
+        if self.verbose:
+            self.check_model_consistency(state)
         self._model_state = self.forward_model.got_actual_observation_and_env_state(
             observation=obs, env_state=state, model_state=self._model_state)
         if self._has_params:

@@ -184,7 +184,13 @@ def top_k_ascending(costs, k: int):
       top_k total order would otherwise rank NaN above every number and a
       single blown-up trajectory would become the #1 elite and poison the
       mean/std refit for the rest of the episode (np.argsort sorts NaN last,
-      so this matches the reference's icem.py:199 behavior);
+      so this matches the reference's icem.py:199 behavior). This INCLUDES
+      -inf: an exactly -inf cost is itself a divergence artifact (a reward
+      overflow in imagination), not a "infinitely good" trajectory — no env
+      cost function in this framework or the reference can legitimately
+      produce it, and executing such a plan would chase a blown-up model
+      state. Intentional deviation from the reference's argsort (which would
+      rank -inf first);
     - ties break by LOWER index (stable), which sparse-cost envs (e.g. Fetch
       with ``sparse: true``) hit constantly with exactly-tied integer costs;
       a lexicographic (cost, index) sort pins the elite ordering to the
@@ -338,7 +344,10 @@ def _validate_sampler_params(asp: dict, allowed: tuple):
             f"unknown action_sampler_params {sorted(unknown)}; valid: {sorted(allowed)}")
 
 
-class MpcICem:
+from icem_tpu.controllers.mpc_common import ModelConsistencyMixin
+
+
+class MpcICem(ModelConsistencyMixin):
     """Host-side controller wrapper with the reference Controller API
     (get_action / beginning_of_rollout / end_of_rollout; base_types.py:42-59,
     abstract_controller.py:43-58). Holds the jitted plan_step + state."""
@@ -421,16 +430,6 @@ class MpcICem:
 
     def end_of_rollout(self, total_time, total_return, mode):
         pass
-
-    def check_model_consistency(self, env_state):
-        """GT-model drift check (reference: controllers/mpc.py:39-47): warn if
-        the model's internal state diverged >1e-5 from the live env state."""
-        if env_state is None or self._model_state is None or self._has_params:
-            return None
-        diff = float(self.env.compute_state_difference(env_state, self._model_state))
-        if diff > 1e-5:
-            print(f"Warning: internal forward model differs from env: {diff}")
-        return diff
 
     def visualize_plan(self, obs, env_state, result: PlanResult):
         """Plan-replay divergence report (abstract_controller.py:93-128).
@@ -599,11 +598,24 @@ class MpcICem:
             return
         with open(path, "rb") as f:
             state = pickle.load(f)
-        if state.get("cfg") != asdict(self.cfg):
-            print(f"{type(self).__name__}.load: checkpoint was written with a "
-                  f"different controller config; restoring state anyway")
+        saved_cfg = state.get("cfg") or {}
+        cfg = asdict(self.cfg)
+        # fields that determine pstate array shapes: restoring across a
+        # change here would hand the jitted plan a shape-mismatched pytree
+        # and crash later with an opaque XLA error far from the cause
+        shape_fields = ("horizon", "action_dim", "elites_size",
+                        "num_simulated_trajectories", "fraction_elites_reused")
+        shape_mismatch = any(saved_cfg.get(f) != cfg[f] for f in shape_fields)
+        if saved_cfg != cfg:
+            if shape_mismatch:
+                print(f"{type(self).__name__}.load: checkpoint planner shapes "
+                      f"differ ({ {f: (saved_cfg.get(f), cfg[f]) for f in shape_fields if saved_cfg.get(f) != cfg[f]} }); "
+                      f"keeping fresh planner state")
+            else:
+                print(f"{type(self).__name__}.load: checkpoint was written with a "
+                      f"different controller config; restoring state anyway")
         self.was_reset = bool(state.get("was_reset", False))
-        if state.get("pstate") is not None:
+        if state.get("pstate") is not None and not shape_mismatch:
             self._pstate = unpack_pytree(state["pstate"])
         if state.get("model_state") is not None:
             self._model_state = unpack_pytree(state["model_state"])

@@ -91,7 +91,10 @@ class RndController:
         self._current = state["current"]
 
 
-class MpcRandom:
+from icem_tpu.controllers.mpc_common import ModelConsistencyMixin
+
+
+class MpcRandom(ModelConsistencyMixin):
     """Random-shooting MPC (mpc.py:86-138)."""
 
     needs_training = False
@@ -119,6 +122,7 @@ class MpcRandom:
         if self.action_change_frequency >= self.horizon:
             raise ValueError("action_change_frequency must be < horizon")  # mpc.py:92
         self._seed = seed
+        self.verbose = bool(verbose)
         self._key = None
         self._model_state = None
 
@@ -160,6 +164,8 @@ class MpcRandom:
         if self._key is None:
             raise AttributeError("beginning_of_rollout() needs to be called before")
         obs = jnp.asarray(obs, jnp.float32)
+        if self.verbose:
+            self.check_model_consistency(state)
         self._model_state = self.forward_model.got_actual_observation_and_env_state(
             observation=obs, env_state=state, model_state=self._model_state)
         action, cost, self._key = self._plan(self._key, obs, self._model_state)

@@ -127,9 +127,9 @@ class PlanarEnv(Env):
             # row-scan: the kernel is ~6x faster per trajectory, so even a
             # nearly-empty 1024-row block (~0.4 ms) undercuts the slow-path
             # tail — measured: a tail-split variant cost +8 ms/plan at the
-            # flagship config. The same arithmetic sets PALLAS_MIN_POP:
-            # above ~BLOCK/5 rows, one padded block already beats the XLA
-            # path, so sub-BLOCK populations use the kernel too.
+            # flagship config. Sub-BLOCK populations stay on the XLA path
+            # (the P >= PALLAS_MIN_POP == BLOCK gate above): measured at
+            # P=512 the padded kernel entry was SLOWER than XLA there.
             pad = (-P) % BLOCK
             # pad < BLOCK <= P (PALLAS_MIN_POP gate), so slicing is valid
             st = jnp.concatenate([states, states[-pad:]], axis=0) if pad else states

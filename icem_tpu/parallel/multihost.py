@@ -47,20 +47,37 @@ def maybe_initialize_distributed(verbose: bool = True) -> bool:
         return False
     import jax
 
+    def _int_env(name, default):
+        raw = os.environ.get(name, default)
+        try:
+            return int(raw)
+        except ValueError:
+            raise ValueError(
+                f"{name}={raw!r} is not an integer — check the multihost "
+                f"launch line (see module docstring)") from None
+
     kwargs = {}
     coord = os.environ.get("ICEM_COORDINATOR")
+    num_processes = 1
     if coord:
+        num_processes = _int_env("ICEM_NUM_PROCESSES", "1")
         kwargs = dict(
             coordinator_address=coord,
-            num_processes=int(os.environ.get("ICEM_NUM_PROCESSES", "1")),
-            process_id=int(os.environ.get("ICEM_PROCESS_ID", "0")),
+            num_processes=num_processes,
+            process_id=_int_env("ICEM_PROCESS_ID", "0"),
         )
     # else: TPU-pod auto-detection (jax.distributed reads the TPU metadata)
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        # backend already initialized (e.g. a library touched jax first) —
-        # surface it loudly, this is a launch-order bug on a real cluster
+        if num_processes > 1:
+            # degrading to single-host here would silently run a DUPLICATE
+            # single-host experiment on every non-coordinator host
+            raise RuntimeError(
+                f"jax.distributed.initialize failed for an explicit "
+                f"{num_processes}-process launch: {e}") from e
+        # single-process launch: backend already initialized (e.g. a library
+        # touched jax first) — surface it loudly, it's a launch-order bug
         print(f"WARNING: jax.distributed.initialize failed: {e}")
         return False
     _initialized = True

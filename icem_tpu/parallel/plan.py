@@ -62,8 +62,6 @@ def resolve_mesh(sharded, num_parallel: int = 0, axis_name: str = "pop"):
     if not sharded:
         return None
     devices = jax.devices()
-    if sharded == "auto" and len(devices) <= 1:
-        return None
     if num_parallel and num_parallel > 0:
         devices = devices[: max(1, min(int(num_parallel), len(devices)))]
     if sharded == "auto" and len(devices) <= 1:
@@ -95,8 +93,6 @@ def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
     have_elites = pstate.have_elites
     elite_actions, elite_costs = pstate.elite_actions, pstate.elite_costs
     elite_last_obs = pstate.elite_last_obs
-
-    obs_dim = obs.shape[-1]
 
     def local_find(key_it, mean_, std_, obs_, model_state_, n_local, use_mean_row):
         """Runs on each device: sample local shard, simulate, local top-k,

@@ -201,3 +201,36 @@ def test_driver_checkpoint_round_trips_controller_state(tmp_path):
     assert ctrl2.was_reset
     np.testing.assert_array_equal(np.asarray(ctrl2._pstate.mean),
                                   np.asarray(ctrl._pstate.mean))
+
+
+def test_consistency_check_on_all_mpc_controllers(capsys):
+    """check_model_consistency lives on the shared MPC base in the reference
+    (mpc.py:39-47) — cem-std and mpc-random must flag a drifted GT model
+    exactly like mpc-icem does."""
+    env = ContinuousPendulum()
+    state = jnp.array([np.pi, 0.0])
+    obs = env.observation(state)
+
+    for cls, kwargs in ((MpcCemStd, {}), (MpcRandom, {})):
+        ctrl = cls(env=env, forward_model=GroundTruthModel(env=env),
+                   horizon=5, num_simulated_trajectories=8, seed=2,
+                   verbose=True, **kwargs)
+        ctrl.beginning_of_rollout(observation=obs, state=state)
+        ctrl.get_action(np.asarray(obs), state)
+        # zero drift on the honest state
+        assert ctrl.check_model_consistency(ctrl._model_state) == 0.0
+        capsys.readouterr()
+        # drifted env state must warn
+        diff = ctrl.check_model_consistency(ctrl._model_state + 1.0)
+        assert diff is not None and diff > 1e-5
+        assert "differs from env" in capsys.readouterr().out, cls.__name__
+
+
+def test_cem_std_rejects_population_decay():
+    """factor_decrease_num is an iCEM knob; vanilla CEM has no decay and a
+    typo'd config must fail loudly rather than degrade silently."""
+    env = ContinuousPendulum()
+    with pytest.raises(ValueError, match="factor_decrease_num"):
+        MpcCemStd(env=env, forward_model=GroundTruthModel(env=env),
+                  horizon=5, num_simulated_trajectories=8,
+                  factor_decrease_num=1.25)
