@@ -24,6 +24,8 @@ import numpy as np
 
 
 def main():
+    from icem_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
     from icem_tpu.controllers import icem as ic

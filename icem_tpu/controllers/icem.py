@@ -72,10 +72,23 @@ class ICemConfig:
     action_low: tuple = (-1.0,)
     action_high: tuple = (1.0,)
     # execute_best_elite is implicit in iCEM (always executes best, icem.py:163)
+    # CEM-loop compilation strategy:
+    # - "unrolled": one traced rollout per CEM iteration at the exact decayed
+    #   population shape — no wasted simulation, but program size (and compile
+    #   time) scales with opt_iterations x rollout size
+    # - "scan": ONE lax.scan body at the iteration-0 population shape; decayed
+    #   iterations mask their dead rows out of top-k/argmin/refit (SURVEY §7's
+    #   prescribed padding). Simulates ~sum(n_0 - n_i) extra rows per step but
+    #   the rollout is traced ONCE — the choice for compile-bound configs
+    #   (long horizons, big obs, fused 1000-step episodes)
+    cem_loop: str = "unrolled"
 
     def __post_init__(self):
         if self.num_simulated_trajectories < 2:
             raise ValueError("At least two trajectories needed!")  # mpc.py:30-31
+        if self.cem_loop not in ("unrolled", "scan"):
+            raise ValueError(f"cem_loop must be 'unrolled' or 'scan', "
+                             f"got {self.cem_loop!r}")
 
     # ---- derived static quantities (reference: icem.py:235-247, 38-43) ----
     @property
@@ -244,6 +257,8 @@ def plan_step(cfg: ICemConfig, predict_fn, cost_fn, pstate: ICemState, obs,
     """
     if model_params is not None:
         predict_fn = partial(predict_fn, model_params)
+    if cfg.cem_loop == "scan":
+        return _plan_step_scan(cfg, predict_fn, cost_fn, pstate, obs, model_state)
     mean, std = pstate.mean, pstate.std
     key = pstate.key
     have_elites = pstate.have_elites
@@ -327,6 +342,112 @@ def plan_step(cfg: ICemConfig, predict_fn, cost_fn, pstate: ICemState, obs,
     )
 
 
+def _plan_step_scan(cfg: ICemConfig, predict_fn, cost_fn, pstate: ICemState,
+                    obs, model_state) -> PlanResult:
+    """``plan_step`` with the CEM loop as ONE ``lax.scan`` body at a single
+    padded population shape (``cfg.cem_loop == "scan"``).
+
+    Algorithmically identical to the unrolled loop — decay (icem.py:126-127)
+    becomes a per-iteration validity mask instead of a smaller array:
+
+    - every iteration samples n_0 fresh rows; rows >= n_i are INVALID
+      (masked to +inf before argmin/top-k, so they can never become the
+      executed best or an elite — n_i >= 2*elites_size >= num_elites
+      guarantees enough valid rows),
+    - the E tail rows hold the shifted elites at i==0 (re-simulated, as the
+      reference does, icem.py:131-137) and the KEPT elites at i>0; kept
+      elites' candidate costs are overwritten with their stored elite costs,
+      preserving the reference's cost-reuse semantics (icem.py:143-145) even
+      though the rows also pass through the (deterministic-model) simulator
+      as padding.
+
+    The per-iteration PRNG draws differ from the unrolled path (fixed-shape
+    sampling), so the two modes are statistically equivalent planners, not
+    bit-identical ones.
+    """
+    E = cfg.elites_kept
+    I = cfg.opt_iterations
+    schedule = cfg.population_schedule
+    n0 = schedule[0]
+    use_tail = E > 0 and (cfg.shift_elites_over_time or cfg.keep_previous_elites)
+
+    # per-iteration control inputs (host constants -> scan xs)
+    n_valid = jnp.asarray(schedule, jnp.int32)
+    is_first = jnp.arange(I) == 0
+    is_last = jnp.arange(I) == I - 1
+
+    fresh_arange = jnp.arange(n0)
+
+    def cem_iter(carry, xs):
+        mean, std, e_a, e_c, e_o, have, key = carry
+        n_i, first, last = xs
+        key, k_sample, k_shift = jax.random.split(key, 3)
+
+        fresh = sample_action_sequences(cfg, k_sample, mean, std, n0)
+        if cfg.use_mean_actions:
+            row0 = jnp.where(last, mean, fresh[0])  # icem.py:84-89
+            fresh = fresh.at[0].set(row0)
+        fresh_valid = fresh_arange < n_i
+
+        if use_tail:
+            # tail rows: shifted elites (i==0) / kept elites (i>0)
+            last_step = sample_action_sequences(cfg, k_shift, mean, std, E)[:, -1:, :]
+            shifted = jnp.concatenate([e_a[:E, 1:, :], last_step], axis=1)
+            tail_actions = jnp.where(first, shifted, e_a[:E])
+            sim_actions = jnp.concatenate([fresh, tail_actions], axis=0)
+        else:
+            sim_actions = fresh
+
+        traj = rollout_open_loop(predict_fn, model_state, obs, sim_actions)
+        sim_costs = trajectory_cost(cost_fn, traj, cfg.cost_along_trajectory,
+                                    cfg.use_env_reward_as_cost)
+        sim_last_obs = traj.next_observations[-1]
+
+        if use_tail:
+            # cost reuse at i>0: stored elite costs, not the re-simulated ones
+            tail_c = jnp.where(first, sim_costs[n0:], e_c[:E])
+            tail_o = jnp.where(first, sim_last_obs[n0:], e_o[:E])
+            cand_costs = jnp.concatenate([sim_costs[:n0], tail_c])
+            cand_last_obs = jnp.concatenate([sim_last_obs[:n0], tail_o])
+            # which mechanism feeds the tail is a static config property; its
+            # validity additionally requires elites to exist (i==0 of the
+            # first-ever plan step has none)
+            tail_on = jnp.where(first, cfg.shift_elites_over_time,
+                                cfg.keep_previous_elites)
+            tail_valid = jnp.broadcast_to(tail_on & have, (E,))
+            cand_valid = jnp.concatenate([fresh_valid, tail_valid])
+        else:
+            cand_costs, cand_last_obs = sim_costs, sim_last_obs
+            cand_valid = fresh_valid
+        cand_actions = sim_actions
+
+        cand_costs = jnp.where(cand_valid & jnp.isfinite(cand_costs),
+                               cand_costs, jnp.inf)
+
+        best_idx = jnp.argmin(cand_costs)
+        mean, std, e_a, e_c, e_o = _refit(
+            cfg, mean, std, cand_actions, cand_costs, cand_last_obs)
+        have = jnp.asarray(True)
+        ys = (jnp.take(cand_actions, best_idx, axis=0), cand_costs[best_idx],
+              jnp.take(cand_last_obs, best_idx, axis=0))
+        return (mean, std, e_a, e_c, e_o, have, key), ys
+
+    carry0 = (pstate.mean, pstate.std, pstate.elite_actions, pstate.elite_costs,
+              pstate.elite_last_obs, pstate.have_elites, pstate.key)
+    (mean, std, e_a, e_c, e_o, have, key), (best_a, best_c, best_o) = \
+        jax.lax.scan(cem_iter, carry0, (n_valid, is_first, is_last))
+
+    # execute the FINAL iteration's best (icem.py:163), shift mean, reset std
+    executed = best_a[-1][0]
+    mean = jnp.concatenate([mean[1:], mean[-1:]], axis=0)
+    std = init_std(cfg)
+
+    new_state = ICemState(mean=mean, std=std, elite_actions=e_a, elite_costs=e_c,
+                          elite_last_obs=e_o, have_elites=have, key=key)
+    return PlanResult(action=executed, state=new_state, expected_cost=best_c[-1],
+                      best_actions=best_a[-1], best_last_obs=best_o[-1])
+
+
 _ICEM_SAMPLER_KEYS = (
     "alpha", "elites_size", "opt_iterations", "init_std", "use_mean_actions",
     "keep_previous_elites", "shift_elites_over_time", "fraction_elites_reused",
@@ -361,7 +482,7 @@ class MpcICem(ModelConsistencyMixin):
                  horizon=30, num_simulated_trajectories=40, factor_decrease_num=1.25,
                  cost_along_trajectory="sum", use_env_reward_as_cost=False,
                  verbose=False, do_visualize_plan=False, seed: Optional[int] = None,
-                 sharded=False, **kwargs):
+                 sharded=False, cem_loop="unrolled", **kwargs):
         asp = dict(action_sampler_params or {})
         _validate_sampler_params(asp, _ICEM_SAMPLER_KEYS)
         self.env = env
@@ -372,6 +493,7 @@ class MpcICem(ModelConsistencyMixin):
             factor_decrease_num=factor_decrease_num,
             cost_along_trajectory=cost_along_trajectory,
             use_env_reward_as_cost=use_env_reward_as_cost,
+            cem_loop=cem_loop,
             action_dim=env.action_space.dim,
             action_low=tuple(np.asarray(env.action_space.low).ravel().tolist()),
             action_high=tuple(np.asarray(env.action_space.high).ravel().tolist()),
@@ -400,6 +522,11 @@ class MpcICem(ModelConsistencyMixin):
         self._mesh = resolve_mesh(
             sharded, getattr(forward_model, "num_parallel", 0) or 0)
         if self._mesh is not None:
+            if self.cfg.cem_loop == "scan":
+                # the sharded planner has its own loop structure; its compile
+                # cost is bounded by the local shard, so run it unrolled
+                print("MpcICem: cem_loop='scan' is single-device only; the "
+                      "sharded planner runs its unrolled loop")
             self._plan_impl = partial(plan_step_sharded, self.cfg,
                                       self._core_fn, env.cost_fn, self._mesh)
         else:

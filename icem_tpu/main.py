@@ -83,6 +83,9 @@ def run(params) -> dict:
     # the whole cluster (parallel/multihost.py documents the launch line)
     from icem_tpu.parallel.multihost import maybe_initialize_distributed
     maybe_initialize_distributed()
+    # persistent XLA cache: re-runs/sweeps/resumes skip recompilation
+    from icem_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     model_dir = params.get("model_dir", "results/default")
     os.makedirs(model_dir, exist_ok=True)

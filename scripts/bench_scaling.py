@@ -68,6 +68,8 @@ def bench_devices(n_dev, pop, steps=5):
 
 
 def main():
+    from icem_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from icem_tpu.parallel.multihost import maybe_initialize_distributed
     maybe_initialize_distributed()
     # honor a JAX_PLATFORMS request before backend init (the TPU plugin in

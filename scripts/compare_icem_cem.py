@@ -56,6 +56,8 @@ def run_planner(kind: str, budget: int, episodes: int, task_horizon: int,
 
 
 def main():
+    from icem_tpu.runtime.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     budgets = [int(b) for b in os.environ.get("BUDGETS", "8,16,32,64,128").split(",")]
     episodes = int(os.environ.get("EPISODES", 3))
     task_horizon = int(os.environ.get("TASK_HORIZON", 100))

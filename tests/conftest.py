@@ -27,3 +27,9 @@ if not _USE_TPU:
     # the config update below wins as long as no backend is initialized yet
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# persistent compilation cache: repeated suite runs (and repeated jits of the
+# same program shapes across tests) skip XLA recompilation
+from icem_tpu.runtime.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()

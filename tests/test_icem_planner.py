@@ -298,3 +298,62 @@ def test_visualize_plan_record_mode_writes_gif(tmp_path):
     ctrl.get_action(np.asarray(obs), state)
     gifs = [f for f in os.listdir(tmp_path) if f.endswith(".gif")]
     assert gifs, "record mode wrote no plan-replay GIF"
+
+
+def test_cem_loop_scan_matches_unrolled_without_decay():
+    """cem_loop='scan' pads decayed iterations with masked rows; with
+    factor_decrease_num=1 there IS no decay, every shape matches the
+    unrolled loop's and the PRNG streams align -> the two compilation
+    strategies must produce bit-identical plans on a deterministic model."""
+    env = ContinuousPendulum()
+    model = GroundTruthModel(env=env)
+    results = {}
+    for mode in ("unrolled", "scan"):
+        cfg = ICemConfig(horizon=8, num_simulated_trajectories=16,
+                         factor_decrease_num=1.0, elites_size=4,
+                         opt_iterations=3, noise_beta=1.0, cem_loop=mode,
+                         action_dim=1,
+                         action_low=tuple(np.asarray(env.action_space.low)),
+                         action_high=tuple(np.asarray(env.action_space.high)))
+        pstate = init_state(cfg, env.obs_dim, jax.random.key(7))
+        state = jnp.array([np.pi, 0.0])
+        obs = env.observation(state)
+        ms = model.got_actual_observation_and_env_state(
+            observation=obs, env_state=state, model_state=None)
+        step = jax.jit(partial_plan(cfg, model, env))
+        acts, costs = [], []
+        for _ in range(4):
+            res = step(pstate, obs, ms)
+            pstate = res.state
+            acts.append(np.asarray(res.action))
+            costs.append(float(res.expected_cost))
+        results[mode] = (np.array(acts), np.array(costs))
+    np.testing.assert_array_equal(results["unrolled"][0], results["scan"][0])
+    np.testing.assert_array_equal(results["unrolled"][1], results["scan"][1])
+
+
+def partial_plan(cfg, model, env):
+    import functools
+    return functools.partial(plan_step, cfg, model.predict_fn, env.cost_fn)
+
+
+@pytest.mark.slow
+def test_cem_loop_scan_controls_point_mass_with_decay():
+    """Control quality of the masked single-shape loop under real population
+    decay: the point mass must still reach its goal."""
+    Seeding.set_seed(21)
+    env = PointMass(goal=(0.1, -0.2))
+    model = GroundTruthModel(env=env)
+    ctrl = MpcICem(env=env, forward_model=model, horizon=15,
+                   num_simulated_trajectories=32, factor_decrease_num=1.3,
+                   cem_loop="scan",
+                   action_sampler_params=dict(noise_beta=1.0), seed=5)
+    state = jnp.array([-0.3, 0.3, 0.0, 0.0], jnp.float32)
+    obs = env.observation(state)
+    ctrl.beginning_of_rollout(observation=obs, state=state)
+    step = jax.jit(env.step)
+    for t in range(60):
+        a = ctrl.get_action(obs, state)
+        state, obs, _, _ = step(state, jnp.asarray(a))
+    dist = float(np.linalg.norm(np.asarray(obs[:2]) - np.array([0.1, -0.2])))
+    assert dist < 0.05, f"point mass ended {dist} from goal"
