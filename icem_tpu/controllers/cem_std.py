@@ -285,16 +285,23 @@ class MpcCemStd(ModelConsistencyMixin):
         return init_state(self.cfg, key)
 
     def functional_plan(self):
+        """See MpcICem.functional_plan: learned weights are the runtime
+        ``model_params`` argument, not a closure capture."""
         plan_impl = self._plan_impl
         init_model_state = self.forward_model.init_model_state
-        params = self.forward_model.params if self._has_params else None
+        has_params = self._has_params
 
-        def plan(pstate, obs, env_state):
+        def plan(pstate, obs, env_state, model_params=None):
             model_state = init_model_state(obs, env_state)
-            res = plan_impl(pstate, obs, model_state, params)
+            res = plan_impl(pstate, obs, model_state,
+                            model_params if has_params else None)
             return res.action, res.state
 
         return plan
+
+    @property
+    def live_model_params(self):
+        return self.forward_model.params if self._has_params else None
 
     def train(self, buffer):
         return {}

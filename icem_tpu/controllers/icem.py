@@ -677,21 +677,30 @@ class MpcICem(ModelConsistencyMixin):
         return init_state(self.cfg, int(obs_dim), key)
 
     def functional_plan(self):
-        """(pstate, obs, env_state) -> (action, pstate'), fully traceable —
-        lets the episode loop fuse planner + env into one scan (mesh-aware:
-        a sharded controller fuses sharded episodes, the shard_map composes
-        under the episode vmap). For learned models the CURRENT params are
-        captured; re-call after training."""
+        """(pstate, obs, env_state, model_params=None) -> (action, pstate'),
+        fully traceable — lets the episode loop fuse planner + env into one
+        scan (mesh-aware: a sharded controller fuses sharded episodes, the
+        shard_map composes under the episode vmap). Learned-model weights
+        enter as the runtime ``model_params`` argument, so ONE compiled fused
+        episode serves every training iteration (closure capture would bake
+        the weights in as constants and force a re-compile per train())."""
         plan_impl = self._plan_impl
         init_model_state = self.forward_model.init_model_state
-        params = self.forward_model.params if self._has_params else None
+        has_params = self._has_params
 
-        def plan(pstate, obs, env_state):
+        def plan(pstate, obs, env_state, model_params=None):
             model_state = init_model_state(obs, env_state)
-            res = plan_impl(pstate, obs, model_state, params)
+            res = plan_impl(pstate, obs, model_state,
+                            model_params if has_params else None)
             return res.action, res.state
 
         return plan
+
+    @property
+    def live_model_params(self):
+        """Current learned-model weights to feed ``functional_plan`` (None
+        for ground-truth models)."""
+        return self.forward_model.params if self._has_params else None
 
     def train(self, buffer):
         return {}

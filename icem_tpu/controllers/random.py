@@ -182,12 +182,16 @@ class MpcRandom(ModelConsistencyMixin):
         plan_impl = self._plan
         init_model_state = self.forward_model.init_model_state
 
-        def plan(key, obs, env_state):
+        def plan(key, obs, env_state, model_params=None):
             model_state = init_model_state(obs, env_state)
             action, _, key2 = plan_impl(key, obs, model_state)
             return action, key2
 
         return plan
+
+    @property
+    def live_model_params(self):
+        return None  # GT-model only
 
     def train(self, buffer):
         return {}

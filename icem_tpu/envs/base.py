@@ -119,10 +119,47 @@ class Env:
     observation_space: BoxSpace
     action_space: BoxSpace
 
-    def __init__(self, *, name: Optional[str] = None, **kwargs):
+    def __init__(self, *, name: Optional[str] = None, action_repeat: int = 1,
+                 **kwargs):
         if name is not None:
             self.name = name
         self.init_kwargs = dict(kwargs)
+        # action repeat: one control step = N physics steps under the SAME
+        # action, rewards summed (the PlaNet protocol the reference's h=12
+        # experiments assume, README.md:23-29 — dm_control tasks are
+        # unplannable at raw control frequency with a 12-step horizon).
+        # Implemented by instance-level wrapping so every consumer — host
+        # episode loop, fused episodes, GT forward models, plan replay —
+        # sees the macro step; the raw single-step stays reachable as
+        # ``_raw_step`` for internal vmap plumbing.
+        self.action_repeat = int(action_repeat)
+        if self.action_repeat < 1:
+            raise ValueError(f"action_repeat must be >= 1, got {action_repeat}")
+        self._raw_step = type(self).step.__get__(self)
+        self._raw_step_batched = type(self).step_batched.__get__(self)
+        if self.action_repeat > 1:
+            self.init_kwargs["action_repeat"] = self.action_repeat
+            n = self.action_repeat
+
+            def repeated(state, action):
+                reward = jnp.float32(0.0)
+                done = jnp.float32(0.0)
+                for _ in range(n):
+                    state, obs, r, d = self._raw_step(state, action)
+                    reward = reward + r
+                    done = jnp.maximum(done, d)
+                return state, obs, reward, done
+
+            def repeated_batched(states, actions):
+                rewards = dones = None
+                for _ in range(n):
+                    states, obs, r, d = self._raw_step_batched(states, actions)
+                    rewards = r if rewards is None else rewards + r
+                    dones = d if dones is None else jnp.maximum(dones, d)
+                return states, obs, rewards, dones
+
+            self.step = repeated
+            self.step_batched = repeated_batched
 
     # -- core dynamics ----------------------------------------------------
     def init_state(self, key, mode: str = "train"):
@@ -143,8 +180,10 @@ class Env:
 
     def step_batched(self, states, actions):
         """Population step over leading batch axes; envs with a faster
-        population-native path override this (see envs/planar_base.py)."""
-        return jax.vmap(self.step)(states, actions)
+        population-native path override this (see envs/planar_base.py).
+        Vmaps the RAW step — action repeat is layered on top by the
+        constructor's instance wrapper."""
+        return jax.vmap(self._raw_step)(states, actions)
 
     # -- costs ------------------------------------------------------------
     def cost_fn(self, observation, action, next_obs):
@@ -165,7 +204,9 @@ class Env:
         raise NotImplementedError(f"{self.name} cannot reconstruct state from observation")
 
     def simulate(self, state, action):
-        """set_GT_state + step + get_GT_state collapsed into value passing."""
+        """set_GT_state + step + get_GT_state collapsed into value passing.
+        ``self.step`` here is the (possibly action-repeated) control step, so
+        GT-model imagination and reality advance identically."""
         next_state, obs, reward, _ = self.step(state, action)
         return obs, next_state, reward
 
@@ -209,7 +250,7 @@ class Env:
 
     # -- misc --------------------------------------------------------------
     def get_fps(self) -> float:
-        return 1.0 / self.dt
+        return 1.0 / (self.dt * self.action_repeat)
 
     def reset_with_mode(self, key, mode: str):
         state = self.init_state(key, mode)

@@ -51,7 +51,9 @@ class PlanarEnv(Env):
         P = states.shape[0]
         if not (batched.supports_batched(self.model)
                 and P >= self.batched_min_pop):
-            return jax.vmap(self.step)(states, actions)
+            # raw step: the constructor layers action repeat on top of this
+            # method, so vmapping the wrapped step would repeat twice
+            return jax.vmap(self._raw_step)(states, actions)
 
         nd = self.model.ndof
         acts = jnp.clip(actions, -1.0, 1.0)
@@ -82,7 +84,11 @@ class PlanarEnv(Env):
         """
         P, h = actions.shape[0], actions.shape[1]
         if not (batched.supports_batched(self.model)
-                and P >= self.batched_min_pop):
+                and P >= self.batched_min_pop
+                and self.action_repeat == 1):
+            # (action repeat is layered on env.step/step_batched by the base
+            # constructor; this whole-horizon path bypasses those wrappers,
+            # so repeated envs fall back to the generic scan)
             return None  # caller falls back to the generic scan
         nd = self.model.ndof
         acts = jnp.clip(actions, -1.0, 1.0)

@@ -137,7 +137,7 @@ class ForwardModel:
     needs_training = False
     params = None          # learned models: live weight pytree
     apply_fn = None        # learned models: (params, ms, obs, act) -> (ms', obs', rew)
-    version = 0            # bumped by train(); invalidates fused-episode caches
+    version = 0            # bumped by train()/load(); params-generation counter
 
     def __init__(self, *, env, **kwargs):
         self.env = env

@@ -54,10 +54,9 @@ class RolloutManager:
         self.fuse_on_device = bool(p.get("fuse_on_device", True))
         self._episode_counter = 0
         self._epoch = 0
-        # fused-episode compile cache: functional_plan() captures learned
-        # weights by value, so entries are validated against the model's
-        # train-version and REPLACED on change (old executables with stale
-        # baked-in weights must not accumulate)
+        # fused-episode compile cache: learned weights flow in as a runtime
+        # argument (see functional_plan), so one compiled episode serves all
+        # training iterations — entries only die with their policy object
         self._fused_cache = {}
 
     def set_epoch(self, epoch: int):
@@ -167,15 +166,18 @@ class RolloutManager:
         env = self.env
         keys = jax.random.split(self._episode_key(mode), no_rollouts)
 
-        model_version = getattr(getattr(policy, "forward_model", None), "version", 0)
+        # learned-model weights are a runtime input of the fused program (see
+        # functional_plan) — always the LIVE params, so a cache hit after
+        # train() replays the compiled episode with the new weights
+        model_params = getattr(policy, "live_model_params", None)
         # key on id(policy) but hold a STRONG ref to the policy in the entry:
         # without it a garbage-collected controller's address can be reused by
         # a new controller of the same type and the cache would silently
         # replay the old jitted episode with the old config baked in
         cache_key = (id(policy), mode, no_rollouts)
         cached = self._fused_cache.get(cache_key)
-        if cached is not None and cached[0] == model_version and cached[2] is policy:
-            episodes = cached[1](keys)
+        if cached is not None and cached[1] is policy:
+            episodes = cached[0](keys, model_params)
             return self._episodes_to_rollouts(episodes, no_rollouts)
 
         plan = policy.functional_plan()
@@ -185,7 +187,7 @@ class RolloutManager:
             jnp.zeros(env.obs_dim), jnp.zeros(env.action_dim), jnp.zeros(env.obs_dim)
         ) is not None
 
-        def one_episode(key):
+        def one_episode(key, model_params):
             k_env, k_plan = jax.random.split(key)
             state, obs = env.reset_with_mode(k_env, mode)
             pstate = policy.init_plan_state(env.obs_dim, k_plan)
@@ -198,7 +200,8 @@ class RolloutManager:
                 # the planner must reconstruct state from the observation,
                 # exactly as on the host path (ground_truth.py:50-55)
                 action, ps2 = plan(ps, ob,
-                                   env_state if use_env_states else None)
+                                   env_state if use_env_states else None,
+                                   model_params)
                 env_state2, ob2, rew, done = env.step(env_state, action)
                 # freeze after termination (mask instead of break)
                 keep = 1.0 - done_before
@@ -221,10 +224,10 @@ class RolloutManager:
                 rew_seq = final_only
             return obs_seq, nxt_seq, act_seq, rew_seq, done_seq, valid_seq, succ_seq
 
-        run = jax.jit(jax.vmap(one_episode))
-        self._fused_cache[cache_key] = (model_version, run, policy)  # replaces stale
+        run = jax.jit(jax.vmap(one_episode, in_axes=(0, None)))
+        self._fused_cache[cache_key] = (run, policy)
         self._has_success_cache = has_success
-        episodes = run(keys)
+        episodes = run(keys, model_params)
         return self._episodes_to_rollouts(episodes, no_rollouts)
 
     def _episodes_to_rollouts(self, episodes, no_rollouts: int):

@@ -185,3 +185,34 @@ def test_rssm_filter_tracks_observation(pendulum_data):
         state, obs, _, _ = step(state, a)
     # reconstruction must clearly beat the predict-the-mean baseline
     assert np.mean(ratios) < 0.75, ratios
+
+
+def test_fused_episodes_use_live_params_without_retrace(pendulum_data):
+    """Learned weights enter the fused episode as a runtime argument: after
+    train() the SAME compiled program must run with the new weights (round-2
+    baked the params in by value, forcing either recompiles or staleness)."""
+    env, buffer = pendulum_data
+    Seeding.set_seed(5)
+    model = EnsembleModel(env=env, ensemble_size=2, hidden=(16,), epochs=1,
+                          seed=0)
+    model.train(buffer)
+    ctrl = MpcICem(env=env, forward_model=model, horizon=4,
+                   num_simulated_trajectories=8, seed=3,
+                   action_sampler_params=dict(opt_iterations=2))
+    from icem_tpu.runtime.rollout import RolloutManager
+    rm = RolloutManager(env, {"task_horizon": 6, "fuse_on_device": True})
+
+    r1 = rm.sample(ctrl, no_rollouts=2)
+    assert len(rm._fused_cache) == 1
+    compiled_entry = next(iter(rm._fused_cache.values()))[0]
+
+    # drastically perturb the weights: same episode keys must now plan
+    # differently THROUGH THE CACHED program
+    rm._episode_counter = 0  # same episode keys as before
+    model.params = jax.tree_util.tree_map(
+        lambda x: x * 0.0 if hasattr(x, "shape") else x, model.params)
+    r2 = rm.sample(ctrl, no_rollouts=2)
+    assert next(iter(rm._fused_cache.values()))[0] is compiled_entry
+    a1 = np.asarray(r1[0]["actions"])
+    a2 = np.asarray(r2[0]["actions"])
+    assert not np.allclose(a1, a2), "fused episode ignored the new params"

@@ -51,3 +51,27 @@ def test_shipped_config_constructs_and_cost_evaluates(path):
     cfg = getattr(main, "cfg", None)
     if cfg is not None:
         assert cfg.action_dim == env.action_dim
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=IDS)
+def test_learned_model_configs_get_training_data(path):
+    """Regression for the round-2 pendulum-ensemble collapse: the inheritance
+    quirk (deeper ancestor wins) let i-cem-blitz's append_data=false /
+    initial_number_of_rollouts=0 silently clobber learned_default_env's
+    values, so the model trained on ONLY the newest 2 episodes and drifted.
+    Every config with a trainable forward model must (a) accumulate data and
+    (b) schedule initial exploration episodes with a real initial controller."""
+    params = resolve_settings(path)
+    name = params.get("forward_model", "none")
+    if name == "none":
+        return
+    from icem_tpu.models import forward_model_from_string
+    cls = forward_model_from_string(name)
+    if not getattr(cls, "needs_training", False):
+        return
+    assert params.get("append_data", False), \
+        f"{path}: trainable model but append_data is falsy (buffer replaced)"
+    assert params.get("initial_controller") not in (None, "none", "null"), \
+        f"{path}: trainable model but no initial exploration controller"
+    assert params.get("initial_number_of_rollouts", 0) > 0, \
+        f"{path}: trainable model but zero initial exploration rollouts"
