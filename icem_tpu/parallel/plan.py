@@ -9,12 +9,15 @@ population chunks over pipes (icem/models/gt_par_model.py:66-94; SURVEY.md
   mesh axis index, so shards are independent streams and the result is
   independent of the device count's layout),
 - rollouts and per-trajectory costs are entirely local (zero communication
-  during simulation — the embarrassingly parallel hot loop),
-- elite selection is a LOCAL top-k followed by one ``all_gather`` of the
-  (cost, action-sequence, final-obs) candidate tuples — K*(h*d+obs+1) floats
-  per device per CEM iteration, the only collective in the program — then a
-  replicated global top-k. The global argmin is necessarily inside some
-  device's local top-k, so execute-best semantics are exact.
+  during simulation — the embarrassingly parallel hot loop); the shifted
+  elites of iteration 0 are sliced across the mesh and re-simulated inside
+  each device's batch rather than replicated,
+- elite selection is a LOCAL top-k followed by ONE ``all_gather`` of a
+  packed (action-sequence ‖ cost ‖ final-obs) candidate buffer —
+  K*(h*d+obs+1) floats per device per CEM iteration, the only collective in
+  the program — then a replicated global top-k. The global argmin is
+  necessarily inside some device's local top-k, so execute-best semantics
+  are exact.
 - elite memory / distribution refit stay replicated (tiny state).
 
 Fresh-sample counts are rounded UP to a multiple of the mesh size, so the
@@ -87,6 +90,8 @@ def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
     K = cfg.num_elites
     E = cfg.elites_kept
     last_iter = cfg.opt_iterations - 1
+    h, d = cfg.horizon, cfg.action_dim
+    obs_dim = int(obs.shape[-1])
 
     mean, std = pstate.mean, pstate.std
     key = pstate.key
@@ -94,9 +99,17 @@ def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
     elite_actions, elite_costs = pstate.elite_actions, pstate.elite_costs
     elite_last_obs = pstate.elite_last_obs
 
-    def local_find(key_it, mean_, std_, obs_, model_state_, n_local, use_mean_row):
-        """Runs on each device: sample local shard, simulate, local top-k,
-        all_gather candidates. Executed under shard_map with replicated ins."""
+    # shifted elites at i==0 are SHARDED across the mesh like the fresh
+    # samples: each device simulates its e_local-row slice alongside its
+    # fresh shard (one rollout kernel, no replicated re-simulation), with
+    # padding rows masked invalid
+    e_local = _cdiv(E, n_dev) if (cfg.shift_elites_over_time and E > 0) else 0
+
+    def local_find(key_it, mean_, std_, obs_, model_state_, shifted_, valid_,
+                   n_local, with_shifted, use_mean_row):
+        """Runs on each device: sample local shard (+ this device's shifted-
+        elite slice), simulate, local top-k, pack into ONE gather buffer.
+        Executed under shard_map with replicated ins."""
         idx = jax.lax.axis_index(axis_name)
         k = jax.random.fold_in(key_it, idx)
         # replicated inputs must be explicitly marked varying before entering
@@ -110,21 +123,34 @@ def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
             # add-mean candidate on device 0 only (icem.py:84-89)
             row0 = jnp.where(idx == 0, mean_, fresh[0])
             fresh = fresh.at[0].set(row0)
+        valid = jnp.ones(n_local, bool)
+        if with_shifted:
+            sl = jax.lax.dynamic_slice_in_dim(
+                to_varying(shifted_), idx * e_local, e_local, axis=0)
+            vl = jax.lax.dynamic_slice_in_dim(
+                to_varying(valid_), idx * e_local, e_local, axis=0)
+            fresh = jnp.concatenate([fresh, sl], axis=0)
+            valid = jnp.concatenate([valid, vl])
         traj = rollout_open_loop(predict_fn, model_state_, obs_, fresh)
         costs = trajectory_cost(cost_fn, traj, cfg.cost_along_trajectory,
                                 cfg.use_env_reward_as_cost)
-        k_local = min(K, n_local)
+        costs = jnp.where(valid & jnp.isfinite(costs), costs, jnp.inf)
+        k_local = min(K, fresh.shape[0])
         order = top_k_ascending(costs, k_local)
-        cand_a = jnp.take(fresh, order, axis=0)
-        cand_c = jnp.take(costs, order, axis=0)
-        cand_o = jnp.take(traj.next_observations[-1], order, axis=0)
-        return cand_a, cand_c, cand_o
+        # pack (actions, cost, final obs) into one [k_local, h*d+1+obs] row
+        # block -> a SINGLE all-gather per CEM iteration instead of three
+        packed = jnp.concatenate(
+            [jnp.take(fresh, order, axis=0).reshape(k_local, h * d),
+             jnp.take(costs, order, axis=0)[:, None],
+             jnp.take(traj.next_observations[-1], order, axis=0)], axis=1)
+        return packed
 
-    def sharded_find(n_local, use_mean_row):
+    def sharded_find(n_local, with_shifted, use_mean_row):
         # local top-k comes out SHARDED over pop ([n_dev * k_local, ...]
         # logically); XLA inserts the single all-gather where the replicated
         # global top-k below consumes it
-        fn = partial(local_find, n_local=n_local, use_mean_row=use_mean_row)
+        fn = partial(local_find, n_local=n_local, with_shifted=with_shifted,
+                     use_mean_row=use_mean_row)
         # check_vma=False: jax 0.9's varying-axis inference cannot type the
         # constant AD basis seeds that jacfwd creates inside the physics
         # engine (mass_matrix's identity tangents concatenate with varying
@@ -135,50 +161,49 @@ def plan_step_sharded(cfg: ICemConfig, predict_fn, cost_fn, mesh: Mesh,
         # of this function (injected noise, bitwise decision equality).
         return shard_map(
             fn, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P()),
-            out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+            in_specs=(P(), P(), P(), P(), P(), P(), P()),
+            out_specs=P(axis_name),
             check_vma=False,
         )
 
-    best_action_seq = jnp.zeros((cfg.horizon, cfg.action_dim))
+    best_action_seq = jnp.zeros((h, d))
     best_cost = jnp.inf
     best_last_obs = jnp.zeros_like(obs)
+    shifted_pad = jnp.zeros((max(e_local, 1) * n_dev, h, d))
+    valid_pad = jnp.zeros(max(e_local, 1) * n_dev, bool)
 
     for i, n_i in enumerate(cfg.population_schedule):
         key, k_it, k_shift = jax.random.split(key, 3)
         n_local = _cdiv(n_i, n_dev)
         use_mean_row = cfg.use_mean_actions and i == last_iter
+        with_shifted = e_local > 0 and i == 0
 
-        g_a, g_c, g_o = sharded_find(n_local, use_mean_row)(
-            k_it, mean, std, obs, model_state)
-
-        cand_a, cand_c, cand_o = [g_a], [g_c], [g_o]
-        cand_valid = [jnp.ones(g_c.shape[0], bool)]
-
-        if i == 0 and cfg.shift_elites_over_time and E > 0:
-            # shifted elites are re-simulated replicated (E rows are tiny)
+        if with_shifted:
+            # elites' actions shifted one step + fresh last action
+            # (icem.py:91-104), padded to the mesh width
             last_step = sample_action_sequences(cfg, k_shift, mean, std, E)[:, -1:, :]
             shifted = jnp.concatenate([elite_actions[:E, 1:, :], last_step], axis=1)
-            straj = rollout_open_loop(predict_fn, model_state, obs, shifted)
-            scosts = trajectory_cost(cost_fn, straj, cfg.cost_along_trajectory,
-                                     cfg.use_env_reward_as_cost)
-            cand_a.append(shifted)
-            cand_c.append(scosts)
-            cand_o.append(straj.next_observations[-1])
-            cand_valid.append(jnp.broadcast_to(have_elites, (E,)))
+            shifted_pad = jnp.concatenate(
+                [shifted, jnp.zeros((e_local * n_dev - E, h, d))], axis=0)
+            valid_pad = (jnp.arange(e_local * n_dev) < E) & have_elites
+
+        packed = sharded_find(n_local, with_shifted, use_mean_row)(
+            k_it, mean, std, obs, model_state, shifted_pad, valid_pad)
+        g_a = packed[:, : h * d].reshape(-1, h, d)
+        g_c = packed[:, h * d]
+        g_o = packed[:, h * d + 1:]
 
         if i > 0 and cfg.keep_previous_elites and E > 0:
-            cand_a.append(elite_actions[:E])
-            cand_c.append(elite_costs[:E])
-            cand_o.append(elite_last_obs[:E])
-            cand_valid.append(jnp.ones(E, bool))
-
-        cand_a = jnp.concatenate(cand_a, axis=0)
-        cand_c = jnp.concatenate(cand_c, axis=0)
-        cand_o = jnp.concatenate(cand_o, axis=0)
-        cand_valid = jnp.concatenate(cand_valid, axis=0)
-        # invalid rows AND non-finite costs rank last (see top_k_ascending)
-        cand_c = jnp.where(cand_valid & jnp.isfinite(cand_c), cand_c, jnp.inf)
+            # kept elites re-enter with their STORED costs (cost reuse,
+            # icem.py:143-145) — replicated append, nothing re-simulated
+            cand_a = jnp.concatenate([g_a, elite_actions[:E]], axis=0)
+            cand_c = jnp.concatenate([g_c, elite_costs[:E]], axis=0)
+            cand_o = jnp.concatenate([g_o, elite_last_obs[:E]], axis=0)
+        else:
+            cand_a, cand_c, cand_o = g_a, g_c, g_o
+        # invalid rows arrived as +inf from local_find; stored elite costs
+        # can be non-finite only if they were inf already
+        cand_c = jnp.where(jnp.isfinite(cand_c), cand_c, jnp.inf)
 
         best_idx = jnp.argmin(cand_c)
         best_action_seq = jnp.take(cand_a, best_idx, axis=0)
@@ -221,6 +246,7 @@ def cem_plan_step_sharded(cfg, predict_fn, cost_fn, mesh: Mesh, pstate, obs,
         predict_fn = partial(predict_fn, model_params)
     n_dev = mesh.devices.size
     K = cfg.num_elites
+    h, d = cfg.horizon, cfg.action_dim
     mean, std, key = pstate
     n_local = _cdiv(cfg.num_simulated_trajectories, n_dev)
 
@@ -233,24 +259,27 @@ def cem_plan_step_sharded(cfg, predict_fn, cost_fn, mesh: Mesh, pstate, obs,
         model_state_ = jax.tree_util.tree_map(to_varying, model_state_)
         lower, upper, std_c = _bounds(cfg, mean_, std_)
         actions = truncated_normal(k, lower, upper, mean_, std_c,
-                                   (n_local, cfg.horizon, cfg.action_dim))
+                                   (n_local, h, d))
         traj = rollout_open_loop(predict_fn, model_state_, obs_, actions)
         costs = trajectory_cost(cost_fn, traj, cfg.cost_along_trajectory,
                                 cfg.use_env_reward_as_cost)
         k_local = min(K, n_local)
         order = top_k_ascending(costs, k_local)
-        return (jnp.take(actions, order, axis=0), jnp.take(costs, order, axis=0),
-                jnp.take(traj.next_observations[-1], order, axis=0))
+        # one packed gather per iteration (see plan_step_sharded)
+        return jnp.concatenate(
+            [jnp.take(actions, order, axis=0).reshape(k_local, h * d),
+             jnp.take(costs, order, axis=0)[:, None],
+             jnp.take(traj.next_observations[-1], order, axis=0)], axis=1)
 
     # check_vma=False: same jacfwd-basis typing gap as plan_step_sharded
     sharded_find = shard_map(
         local_find, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
         check_vma=False,
     )
 
-    best_actions = jnp.zeros((cfg.horizon, cfg.action_dim))
+    best_actions = jnp.zeros((h, d))
     best_cost = jnp.inf
     best_last_obs = jnp.zeros_like(obs)
 
@@ -259,7 +288,10 @@ def cem_plan_step_sharded(cfg, predict_fn, cost_fn, mesh: Mesh, pstate, obs,
         # std clamping (levine bounds) must update the replicated std exactly
         # as the single-device path does (mpc.py:290-301)
         _, _, std = _bounds(cfg, mean, std)
-        cand_a, cand_c, cand_o = sharded_find(k_it, mean, std, obs, model_state)
+        packed = sharded_find(k_it, mean, std, obs, model_state)
+        cand_a = packed[:, : h * d].reshape(-1, h, d)
+        cand_c = packed[:, h * d]
+        cand_o = packed[:, h * d + 1:]
         cand_c = jnp.where(jnp.isfinite(cand_c), cand_c, jnp.inf)
 
         best_idx = jnp.argmin(cand_c)

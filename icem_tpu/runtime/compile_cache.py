@@ -43,6 +43,13 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     os.makedirs(cache_dir, exist_ok=True)
     import jax
 
+    # platform override (e.g. ICEM_PLATFORM=cpu to run experiments while the
+    # TPU tunnel is unavailable). Must happen before backend init — the TPU
+    # plugin ignores the JAX_PLATFORMS env var, only the config wins.
+    platform = os.environ.get("ICEM_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache everything that took noticeable compile time; tiny kernels are
     # cheap to recompile and would only churn the directory
