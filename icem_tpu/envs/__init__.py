@@ -18,7 +18,8 @@ _ENV_REGISTRY = {
     "HalfCheetah": ("icem_tpu.envs.cheetah", "HalfCheetah"),
     "Hopper": ("icem_tpu.envs.hopper", "Hopper"),
     "Reacher": ("icem_tpu.envs.reacher", "Reacher"),
-    "Ant": ("icem_tpu.envs.ant", "Ant"),
+    "Ant": ("icem_tpu.envs.ant3d", "Ant3D"),
+    "PlanarAnt": ("icem_tpu.envs.ant", "Ant"),  # round-2 sagittal model
     "HumanoidStandup": ("icem_tpu.envs.humanoid", "HumanoidStandup"),
     "Humanoid": ("icem_tpu.envs.humanoid", "Humanoid"),
     # goal-conditioned manipulation (reference .robotics)

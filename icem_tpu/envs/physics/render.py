@@ -43,6 +43,77 @@ def _fk_host(model, q):
     return origins, angles, geom_pts
 
 
+def _fk_host_spatial(model, q):
+    """Numpy forward kinematics (mirrors physics.spatial.fk, host-side)."""
+    q = np.asarray(q, np.float64)
+    B = model.nbody
+    anchors = np.asarray(model.anchor, np.float64)
+    axes = np.asarray(model.axis, np.float64)
+    origins = np.zeros((B, 3))
+    rots = np.zeros((B, 3, 3))
+
+    def rot_axis(a, th):
+        K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+        return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+    for b in range(B):
+        if b == 0:
+            if model.free_root:
+                r, p, y = q[3], q[4], q[5]
+                Rx = rot_axis(np.array([1.0, 0, 0]), r)
+                Ry = rot_axis(np.array([0, 1.0, 0]), p)
+                Rz = rot_axis(np.array([0, 0, 1.0]), y)
+                rots[0] = Rz @ Ry @ Rx
+                origins[0] = q[0:3] + anchors[0]
+            else:
+                rots[0] = rot_axis(axes[0], q[0])
+                origins[0] = anchors[0]
+        else:
+            pa = model.parent[b]
+            rots[b] = rots[pa] @ rot_axis(axes[b], q[model.dof_of_body(b)])
+            origins[b] = origins[pa] + rots[pa] @ anchors[b]
+    geom_pts = np.zeros((len(model.geom_body), 3))
+    for g, b in enumerate(model.geom_body):
+        geom_pts[g] = origins[b] + rots[b] @ np.asarray(model.geom_pos[g], np.float64)
+    return origins, rots, geom_pts
+
+
+def render_spatial_xz(model, q, *, width: int = 480, height: int = 320,
+                      window: float = 3.0) -> np.ndarray:
+    """Sagittal (x, z) wireframe of a SpatialModel pose. Returns uint8 [H,W,3]."""
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    origins, _, geom_pts = _fk_host_spatial(model, q)
+    xz = origins[:, [0, 2]]
+    cx = float(xz[0, 0])
+
+    fig, ax = plt.subplots(figsize=(width / 100, height / 100), dpi=100)
+    try:
+        ax.set_xlim(cx - window / 2, cx + window / 2)
+        ax.set_ylim(-0.3, -0.3 + window * height / width)
+        ax.set_aspect("equal")
+        ax.axis("off")
+        ax.axhline(0.0, color="#888888", lw=1.5)
+        for x_tick in np.arange(np.floor(cx - window), np.ceil(cx + window)):
+            ax.plot([x_tick, x_tick], [0.0, -0.08], color="#bbbbbb", lw=1.0)
+        for b in range(1, model.nbody):
+            pa = model.parent[b]
+            ax.plot([xz[pa, 0], xz[b, 0]], [xz[pa, 1], xz[b, 1]],
+                    color="#2c6fbb", lw=3.0, solid_capstyle="round")
+        ax.plot(xz[0, 0], xz[0, 1], "o", color="#1a3a5c", ms=8)
+        for g in range(len(geom_pts)):
+            ax.add_patch(plt.Circle((geom_pts[g, 0], geom_pts[g, 2]),
+                                    float(model.geom_radius[g]),
+                                    fill=False, color="#d95f02", lw=1.5))
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        return np.ascontiguousarray(buf)
+    finally:
+        plt.close(fig)
+
+
 def render_planar(model, q, *, width: int = 480, height: int = 320,
                   window: float = 3.0) -> np.ndarray:
     """Rasterize one frame of a PlanarModel pose. Returns uint8 [H, W, 3]."""

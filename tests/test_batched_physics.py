@@ -19,7 +19,7 @@ ENVS = [
                  {"exclude_current_positions_from_observation": True},
                  marks=pytest.mark.slow),
     ("Hopper", {"exclude_current_positions_from_observation": False}),
-    ("Ant", {"exclude_current_positions_from_observation": False}),
+    ("PlanarAnt", {"exclude_current_positions_from_observation": False}),
     # hinge-root + fluid-drag coverage (round-2 fast-path widening)
     ("Reacher", {}),
     ("reacher", {"task_name": "easy"}),

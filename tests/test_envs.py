@@ -17,7 +17,8 @@ ALL_ENVS = [
     ("HalfCheetah", {"exclude_current_positions_from_observation": True}, 17, 6),
     ("HalfCheetah", {"exclude_current_positions_from_observation": False}, 18, 6),
     ("Hopper", {"exclude_current_positions_from_observation": False}, 12, 3),
-    ("Ant", {"exclude_current_positions_from_observation": False}, 16, 4),
+    ("Ant", {"exclude_current_positions_from_observation": False}, 28, 8),
+    ("PlanarAnt", {"exclude_current_positions_from_observation": False}, 16, 4),
     ("Reacher", {}, 11, 2),
     ("HumanoidStandup", {}, 26, 9),
     ("Humanoid", {}, 26, 9),
@@ -70,6 +71,7 @@ def test_state_from_observation_roundtrip():
         ("HalfCheetah", {"exclude_current_positions_from_observation": False}),
         ("Hopper", {"exclude_current_positions_from_observation": False}),
         ("Ant", {"exclude_current_positions_from_observation": False}),
+        ("PlanarAnt", {"exclude_current_positions_from_observation": False}),
         ("cartpole", {"task_name": "swingup"}),
         ("HumanoidStandup", {}),
     ]:
@@ -152,25 +154,28 @@ def test_humanoid_standup_cost_reads_height():
     np.testing.assert_allclose(costs, -obs[:, 2], rtol=1e-5)
 
 
-def test_ant_cost_exact_formula():
-    env = env_from_string("Ant", exclude_current_positions_from_observation=False)
-    obs = jnp.zeros((3, 16)).at[:, 2].set(jnp.array([0.57, 0.05, 1.5]))
+@pytest.mark.parametrize("name,obs_dim,act_dim", [
+    ("Ant", 28, 8), ("PlanarAnt", 16, 4)])
+def test_ant_cost_exact_formula(name, obs_dim, act_dim):
+    env = env_from_string(name, exclude_current_positions_from_observation=False)
+    obs = jnp.zeros((3, obs_dim)).at[:, 2].set(jnp.array([0.57, 0.05, 1.5]))
     next_obs = obs.at[:, 0].add(jnp.array([0.1, 0.1, 0.1]))
-    act = jnp.full((3, 4), 0.5)
+    act = jnp.full((3, act_dim), 0.5)
     costs = np.asarray(env.cost_fn(obs, act, next_obs))
     x_vel = 0.1 / env.dt
-    ctrl = 0.5 * 4 * 0.25
+    ctrl = 0.5 * act_dim * 0.25
     np.testing.assert_allclose(costs[0], -x_vel + ctrl, rtol=1e-5)      # healthy
     np.testing.assert_allclose(costs[1], -x_vel + 100.0 + ctrl, rtol=1e-5)  # too low
     np.testing.assert_allclose(costs[2], -x_vel + 100.0 + ctrl, rtol=1e-5)  # too high
     # excluded-positions obs must be rejected (mujoco.py:153-157 analog)
-    env2 = env_from_string("Ant", exclude_current_positions_from_observation=True)
+    env2 = env_from_string(name, exclude_current_positions_from_observation=True)
     with pytest.raises(AttributeError):
-        env2.cost_fn(jnp.zeros((3, 14)), act, jnp.zeros((3, 14)))
+        env2.cost_fn(jnp.zeros((3, obs_dim - 2)), act, jnp.zeros((3, obs_dim - 2)))
 
 
 def test_ant_stands_under_zero_action():
-    env = env_from_string("Ant", exclude_current_positions_from_observation=False)
+    env = env_from_string("PlanarAnt",
+                          exclude_current_positions_from_observation=False)
     state, obs = env.reset_with_mode(jax.random.key(0), "train")
     step = jax.jit(env.step)
     for _ in range(20):
