@@ -50,7 +50,9 @@ class Door(Env):
     dt = 0.05
     HANDLE_RADIUS = 0.35   # handle lever arm from the hinge
     HANDLE_HEIGHT = 0.25
-    REACH_DIST = 0.09
+    REACH_DIST = 0.07      # palm must be placed AT the handle, not near it
+    GRASP_MIN = 0.1        # mean finger closure below which nothing grips
+    LATCH_GAIN = 6.0       # latch servo target per unit effective grasp
 
     def __init__(self, *, shaped_reward: bool = True, add_bonus_rewards: bool = True,
                  use_normalized_actions: bool = False, frame_skip=None, **kwargs):
@@ -119,13 +121,17 @@ class Door(Env):
         handle = self._handle_pos(door, frame_xy)
         near = jnp.linalg.norm(new_palm - handle) < self.REACH_DIST
 
-        # latch turns with grasp while at the handle, springs back otherwise.
-        # NOTE: grasp is a MEAN over ~25 finger servos, which concentrates
-        # near 0 under mean-zero exploration noise — thresholds here are set
-        # within ~1-2 sigma of that mean so colored-noise exploration can
-        # discover the maneuver, mirroring the forgiving contact dynamics of
-        # the original MuJoCo hand.
-        latch_target = jnp.where(near, 12.0 * grasp, 0.0)
+        # latch turns only under a COORDINATED grasp at the handle, and
+        # springs back otherwise. grasp is a MEAN over ~25 finger servos, so
+        # under mean-zero exploration noise it concentrates near 0 with sigma
+        # ~ noise_std/5: the GRASP_MIN dead zone is several sigma out, which
+        # makes unlatching an exploration problem (elites must command the
+        # whole hand to close and HOLD it) rather than a lucky-noise event —
+        # the round-2 thresholds sat inside the noise band and saturated
+        # success at iteration 0 (VERDICT r2, weak #4).
+        eff_grasp = jnp.clip((grasp - self.GRASP_MIN) / (1.0 - self.GRASP_MIN),
+                             0.0, 1.0)
+        latch_target = jnp.where(near, self.LATCH_GAIN * eff_grasp, 0.0)
         new_latch = jnp.clip(latch + 6.0 * self.dt * (latch_target - latch), 0.0, 1.8)
         unlatched = new_latch > 1.0
 
@@ -137,9 +143,10 @@ class Door(Env):
             jnp.stack([-jnp.sin(door + jnp.pi / 2), jnp.cos(door + jnp.pi / 2)]),
             jnp.zeros(1)])
         pull = jnp.dot(palm_disp, tangent3) / self.HANDLE_RADIUS
-        pulling = near & unlatched & (grasp > 0.08)
+        pulling = near & unlatched & (grasp > self.GRASP_MIN)
         door_delta = jnp.where(pulling, pull, 0.0)
-        new_door = jnp.clip(door + door_delta - 0.4 * self.dt * door * (1 - near),
+        # a released door swings shut on its spring — opening must be HELD
+        new_door = jnp.clip(door + door_delta - 1.0 * self.dt * door * (1 - pulling),
                             0.0, 1.6)
         # palm sticks to the handle arc when pulling the door
         new_handle = self._handle_pos(new_door, frame_xy)
@@ -187,7 +194,8 @@ class Relocate(Env):
     name = "Relocate"
     n_hand = 30
     dt = 0.05
-    GRASP_DIST = 0.06
+    GRASP_DIST = 0.04      # palm must reach INTO the ball to grasp it
+    GRASP_MIN = 0.3        # coordinated-closure dead zone (see Door.step)
     TABLE_Z = 0.035  # ball resting height
 
     def __init__(self, *, add_bonus_rewards: bool = True,
@@ -242,11 +250,12 @@ class Relocate(Env):
         grasp = jnp.clip(jnp.mean(fingers), 0.0, 1.0)
         new_hand = jnp.concatenate([new_palm, fingers])
 
-        # thresholds sized to the sigma of the 27-finger mean under
-        # exploration noise (see Door.step note)
+        # picking up requires a coordinated closure well outside the
+        # exploration-noise band of the 27-finger mean, and KEEPING the hand
+        # closed while carrying (see the Door.step rationale)
         near = jnp.linalg.norm(obj - new_palm) < self.GRASP_DIST
-        closing = grasp > 0.12
-        holding = grasp > 0.06
+        closing = grasp > self.GRASP_MIN
+        holding = grasp > 0.2                # sustained-hold hysteresis floor
         new_attached = jnp.where(near & closing, 1.0,
                                  jnp.where(holding, attached, 0.0))
 
