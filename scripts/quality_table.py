@@ -2,14 +2,17 @@
 Reporting row.
 
 Runs every shipped settings/* experiment through the PRODUCT path
-(icem_tpu.main.run -> factories -> fused episodes) and records, per config:
-final-iteration mean return, success rate (goal envs), solve metric (where
-the config defines one), and wall-clock episode throughput. Learned-model
+(icem_tpu.main.run -> factories -> fused episodes) and records, per config,
+statistics over ICEM_QUALITY_SEEDS independent runs (default 3 seeds;
+ground-truth-model configs additionally run >=3 episodes per iteration):
+mean +/- std of final/best return, success rate, solve metric (where the
+config defines one), and wall-clock episode throughput. Learned-model
 configs (ensemble / RSSM) are truncated to a few training iterations unless
 ICEM_QUALITY_FULL=1 — the table documents the truncation.
 
     python scripts/quality_table.py                 # all configs
     CONFIGS=pendulum/i-cem-blitz python scripts/quality_table.py
+    ICEM_QUALITY_SEEDS=0 python scripts/quality_table.py   # quick single-seed
 
 Writes results/QUALITY_r<N>.json (round number from ICEM_ROUND, default 2)
 and prints the JSON to stdout.
@@ -21,6 +24,8 @@ import os
 import sys
 import time
 import traceback
+
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -36,14 +41,20 @@ TRUNCATE_ITERS = {
 }
 
 
-def run_config(path: str, out_root: str):
+def run_config(path: str, out_root: str, seed: int):
     from icem_tpu.main import run
     from icem_tpu.runtime.config import resolve_settings
 
     name = os.path.relpath(path, os.path.join(REPO, "settings"))[:-len(".json")]
     params = resolve_settings(path)
-    over = {"model_dir": os.path.join(out_root, name.replace("/", "_")),
+    over = {"model_dir": os.path.join(out_root,
+                                      f"{name.replace('/', '_')}_s{seed}"),
+            "seed": seed,
             "checkpoints": {"load": False, "save": False}}
+    if params.forward_model in ("GroundTruthModel", "ParallelGroundTruthModel"):
+        # no training loop -> episodes are independent; >=3 per iteration
+        # gives the per-seed mean some width at negligible extra compile cost
+        over["number_of_rollouts"] = max(3, int(params.get("number_of_rollouts", 1)))
     rp_over = {}
     if os.environ.get("ICEM_QUALITY_NO_FUSE"):
         # escape hatch for configs whose fused-episode program crashes the
@@ -103,8 +114,35 @@ def run_config(path: str, out_root: str):
     return name, row
 
 
+def aggregate(rows):
+    """Seed-aggregated row: mean +/- std of the per-seed statistics."""
+    agg = dict(rows[0])            # env/controller/model/horizon metadata
+    agg["seeds"] = len(rows)
+
+    def stat(key):
+        vals = [r[key] for r in rows if r.get(key) is not None]
+        if not vals:
+            return None, None
+        return (round(float(np.mean(vals)), 2),
+                round(float(np.std(vals)), 2))
+
+    for key in ("final_mean_return", "best_mean_return", "final_mean_success"):
+        if key in agg:
+            agg[key], agg[key + "_std"] = stat(key)
+    for key in ("wall_s", "compile_s", "env_steps_per_s"):
+        if agg.get(key) is not None:
+            agg[key] = stat(key)[0]
+    if "solved" in agg:
+        agg["solved"] = all(bool(r.get("solved")) for r in rows)
+        agg["solved_seeds"] = sum(bool(r.get("solved")) for r in rows)
+        agg["solved_at_iteration"] = [r.get("solved_at_iteration") for r in rows]
+    agg["per_seed_final_return"] = [r.get("final_mean_return") for r in rows]
+    return agg
+
+
 def main():
     only = os.environ.get("CONFIGS")
+    seeds = [int(s) for s in os.environ.get("ICEM_QUALITY_SEEDS", "0,1,2").split(",")]
     out_root = os.path.join(REPO, "results", "quality_runs")
     round_no = int(os.environ.get("ICEM_ROUND", "2"))
     out_path = os.path.join(REPO, "results", f"QUALITY_r{round_no:02d}.json")
@@ -122,18 +160,22 @@ def main():
         configs = [c for c in configs if any(k in c for k in keys)]
     for path in configs:
         name = os.path.relpath(path, os.path.join(REPO, "settings"))[:-len(".json")]
-        print(f"=== {name}", file=sys.stderr, flush=True)
-        try:
-            name, row = run_config(path, out_root)
-        except Exception as e:
-            traceback.print_exc()
-            row = {"error": f"{type(e).__name__}: {e}"}
-        table[name] = row
-        print(json.dumps({name: row}), file=sys.stderr, flush=True)
+        rows = []
+        for seed in seeds:
+            print(f"=== {name} seed {seed}", file=sys.stderr, flush=True)
+            try:
+                name, row = run_config(path, out_root, seed)
+                rows.append(row)
+            except Exception as e:
+                traceback.print_exc()
+                rows = [{"error": f"{type(e).__name__}: {e}", "seed": seed}]
+                break
+        table[name] = aggregate(rows) if "error" not in rows[0] else rows[0]
+        print(json.dumps({name: table[name]}), file=sys.stderr, flush=True)
         # incremental save so a partial run still leaves an artifact
         with open(out_path, "w") as f:
             json.dump({"metric": "per_config_control_quality",
-                       "configs": table}, f, indent=1)
+                       "seeds": seeds, "configs": table}, f, indent=1)
     print(json.dumps({"metric": "per_config_control_quality", "configs": table}))
 
 

@@ -356,3 +356,30 @@ def test_mpc_icem_sharded_with_learned_model():
     fm.train(buf)
     a2 = ctrl.get_action(np.asarray(obs), None)
     assert np.all(np.isfinite(a2))
+
+
+def test_check_vma_workaround_still_needed(monkeypatch):
+    """Canary for parallel.plan.CHECK_VMA (the check_vma=False workaround).
+
+    Reproduces the jax 0.9 varying-axis typing gap on the REAL product path:
+    a sharded plan over a physics-engine env whose mass_matrix uses
+    jacfwd(grad(.)) — the constant AD basis seeds concatenate with varying fk
+    tangents and check_vma=True fails to type the program. If this test ever
+    FAILS because no error is raised, upstream fixed the inference: flip
+    plan.CHECK_VMA's default to True and delete this canary.
+    """
+    import pytest
+
+    from icem_tpu.envs import env_from_string
+    from icem_tpu.parallel import plan as plan_mod
+
+    env = env_from_string("Reacher")
+    cfg, predict_fn = _setup(env, horizon=3, N=16)
+    mesh = make_pop_mesh()
+    state, obs = env.reset_with_mode(jax.random.key(0), "train")
+    ps = ic.init_state(cfg, env.obs_dim, jax.random.key(1))
+
+    monkeypatch.setattr(plan_mod, "CHECK_VMA", True)
+    with pytest.raises(Exception, match="(?i)vma|varying|manual axes"):
+        jax.jit(lambda p, o, m: plan_step_sharded(
+            cfg, predict_fn, env.cost_fn, mesh, p, o, m))(ps, obs, state)
