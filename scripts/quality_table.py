@@ -33,7 +33,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # learned-model configs train for many iterations; cap them for the table
 TRUNCATE_ITERS = {
-    "halfcheetah_running/ensemble-icem": 3,
+    # 10 iterations ≈ 12k env steps: enough to show the post-data-starvation
+    # learning trend at ~1/3 the wall of the full 30-iteration protocol
+    "halfcheetah_running/ensemble-icem": 10,
     "pendulum/ensemble-icem": 5,
     "planet/cartpole_swingup": 10,
     "planet/cheetah_run": 2,
@@ -87,10 +89,15 @@ def run_config(path: str, out_root: str, seed: int):
     exec_times = info.get("train_exec_time", [])
     steady = exec_times[1:] if len(exec_times) > 1 else exec_times
     steps_per_s = (n_roll * th / (sum(steady) / len(steady))) if steady else None
+    import jax
     row = {
         "env": params.env,
         "controller": params.controller,
         "forward_model": params.forward_model,
+        # returns/success are device-independent; wall_s/env_steps_per_s are
+        # not — record the platform so CPU-fallback rows (run when the TPU
+        # tunnel is down) aren't mistaken for TPU throughput
+        "device": jax.devices()[0].platform,
         "task_horizon": th,
         "iterations_run": iters,
         "final_mean_return": round(float(info["train_mean_return"][-1]), 2),
