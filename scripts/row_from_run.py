@@ -9,6 +9,13 @@ it, flagged with its provenance, so the artifact stays honest about the row
 being a single seeded run rather than the default 3-seed aggregate.
 
     python scripts/row_from_run.py results/r3_planet_cartpole planet/cartpole_swingup
+
+Passing several run directories (e.g. the per-seed dirs a timed-out
+quality_table invocation left behind) aggregates them into one
+mean +/- std row exactly like the table runner would have:
+
+    python scripts/row_from_run.py results/quality_runs/ant_i-cem-blitz_s0 \
+        results/quality_runs/ant_i-cem-blitz_s1 ant/i-cem-blitz
 """
 
 import json
@@ -16,6 +23,7 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 
 def row_from_run(run_dir: str):
@@ -46,6 +54,10 @@ def row_from_run(run_dir: str):
         "seeds": 1,
         "source_run": os.path.relpath(run_dir, REPO),
     }
+    if os.environ.get("ICEM_ROW_DEVICE"):
+        # platform the folded run executed on (not recoverable from the
+        # run dir itself) — same honesty contract as quality_table rows
+        row["device"] = os.environ["ICEM_ROW_DEVICE"]
     if "train_mean_success" in info:
         row["final_mean_success"] = round(float(info["train_mean_success"][-1]), 3)
     if "required_iterations_to_solve" in info:
@@ -56,14 +68,21 @@ def row_from_run(run_dir: str):
 
 
 def main():
-    run_dir, name = sys.argv[1], sys.argv[2]
+    run_dirs, name = sys.argv[1:-1], sys.argv[-1]
     round_no = int(os.environ.get("ICEM_ROUND", "3"))
     out_path = os.path.join(REPO, "results", f"QUALITY_r{round_no:02d}.json")
     table = {"metric": "per_config_control_quality", "configs": {}}
     if os.path.exists(out_path):
         with open(out_path) as f:
             table = json.load(f)
-    row = row_from_run(run_dir)
+    rows = [row_from_run(d) for d in run_dirs]
+    if len(rows) == 1:
+        row = rows[0]
+    else:
+        from quality_table import aggregate
+        row = aggregate(rows)
+        row["seeds"] = len(rows)
+        row["source_run"] = [r["source_run"] for r in rows]
     table.setdefault("configs", {})[name] = row
     with open(out_path, "w") as f:
         json.dump(table, f, indent=1)
