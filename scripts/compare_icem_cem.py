@@ -78,13 +78,13 @@ def run_planner(kind: str, env_name: str, budget: int, episodes: int,
     rollouts = man.sample(ctrl, mode="train", no_rollouts=episodes)
     returns = [float(np.sum(r["rewards"])) for r in rollouts]
     successes = None
-    if hasattr(env, "is_success"):
-        # task solved if ANY step of the episode meets the success predicate
-        # (the reference's solve-metric convention for door: max door angle)
-        import jax.numpy as jnp
-        successes = [float(np.max(np.asarray(
-            env.is_success(r["observations"], r["actions"],
-                           r["next_observations"])))) for r in rollouts]
+    # task solved if ANY step of the episode meets the success predicate
+    # (the reference's solve-metric convention for door: max door angle);
+    # base Env.is_success returns None for envs with no success notion
+    flags = [env.is_success(r["observations"], r["actions"],
+                            r["next_observations"]) for r in rollouts]
+    if all(f is not None for f in flags):
+        successes = [float(np.max(np.asarray(f))) for f in flags]
     return returns, successes
 
 
