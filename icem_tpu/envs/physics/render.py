@@ -63,7 +63,8 @@ def _fk_host_spatial(model, q):
                 Rx = rot_axis(np.array([1.0, 0, 0]), r)
                 Ry = rot_axis(np.array([0, 1.0, 0]), p)
                 Rz = rot_axis(np.array([0, 0, 1.0]), y)
-                rots[0] = Rz @ Ry @ Rx
+                rots[0] = np.asarray(getattr(model, "root_rot_offset", np.eye(3)),
+                                     np.float64) @ (Rz @ Ry @ Rx)
                 origins[0] = q[0:3] + anchors[0]
             else:
                 rots[0] = rot_axis(axes[0], q[0])

@@ -65,6 +65,15 @@ class SpatialModel:
     mass: np.ndarray                 # [B]
     inertia: np.ndarray              # [B,3] diagonal inertia about COM, body frame
     free_root: bool = True
+    # Constant world-frame rotation applied LEFT of the root rpy chart:
+    # R_root = root_rot_offset @ R_rpy(q[3:6]). The rpy chart is singular at
+    # chart pitch = +-pi/2; tasks whose working orientations sit near a
+    # singular chart point (e.g. a supine humanoid at world pitch -pi/2)
+    # recenter the chart so the whole working range is well-conditioned
+    # (see envs/humanoid3d.py). Identity by default; q[3:6] are then plain
+    # world roll/pitch/yaw.
+    root_rot_offset: np.ndarray = field(
+        default_factory=lambda: np.eye(3, dtype=np.float32))
     # contact geoms: spheres attached to bodies
     geom_body: Tuple[int, ...] = ()
     geom_pos: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float32))
@@ -141,7 +150,7 @@ def fk(model: SpatialModel, q):
     for b in range(B):
         if b == 0:
             if model.free_root:
-                R = _rot_rpy(q[3:6])
+                R = jnp.asarray(model.root_rot_offset, jnp.float32) @ _rot_rpy(q[3:6])
                 orig = q[0:3] + anchors[0]
             else:
                 R = _rot_axis(axes[0], q[0])
