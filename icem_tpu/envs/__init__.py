@@ -20,8 +20,11 @@ _ENV_REGISTRY = {
     "Reacher": ("icem_tpu.envs.reacher", "Reacher"),
     "Ant": ("icem_tpu.envs.ant3d", "Ant3D"),
     "PlanarAnt": ("icem_tpu.envs.ant", "Ant"),  # round-2 sagittal model
-    "HumanoidStandup": ("icem_tpu.envs.humanoid", "HumanoidStandup"),
-    "Humanoid": ("icem_tpu.envs.humanoid", "Humanoid"),
+    "HumanoidStandup": ("icem_tpu.envs.humanoid3d", "HumanoidStandup3D"),
+    "Humanoid": ("icem_tpu.envs.humanoid3d", "Humanoid3D"),
+    # round-2 sagittal models
+    "PlanarHumanoidStandup": ("icem_tpu.envs.humanoid", "HumanoidStandup"),
+    "PlanarHumanoid": ("icem_tpu.envs.humanoid", "Humanoid"),
     # goal-conditioned manipulation (reference .robotics)
     "FetchPickAndPlace": ("icem_tpu.envs.fetch", "FetchPickAndPlace"),
     "FetchReach": ("icem_tpu.envs.fetch", "FetchReach"),

@@ -20,8 +20,11 @@ ALL_ENVS = [
     ("Ant", {"exclude_current_positions_from_observation": False}, 28, 8),
     ("PlanarAnt", {"exclude_current_positions_from_observation": False}, 16, 4),
     ("Reacher", {}, 11, 2),
-    ("HumanoidStandup", {}, 26, 9),
-    ("Humanoid", {}, 26, 9),
+    ("HumanoidStandup", {}, 46, 17),
+    ("Humanoid", {}, 46, 17),
+    ("Humanoid", {"exclude_current_positions_from_observation": True}, 44, 17),
+    ("PlanarHumanoidStandup", {}, 26, 9),
+    ("PlanarHumanoid", {}, 26, 9),
     ("FetchReach", {"sparse": False, "threshold": 0.05}, 13, 4),
     ("FetchPickAndPlace", {"sparse": True, "threshold": 0.05}, 28, 4),
     ("Door", {"shaped_reward": False}, 39, 28),
@@ -145,11 +148,14 @@ def test_discrete_space_embedding_roundtrip():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(idx))
 
 
-def test_humanoid_standup_cost_reads_height():
-    env = env_from_string("HumanoidStandup")
-    obs = np.zeros((3, 26), np.float32)
+@pytest.mark.parametrize("name,obs_dim,act_dim", [
+    ("HumanoidStandup", 46, 17), ("PlanarHumanoidStandup", 26, 9)])
+def test_humanoid_standup_cost_reads_height(name, obs_dim, act_dim):
+    env = env_from_string(name)
+    obs = np.zeros((3, obs_dim), np.float32)
     obs[:, 2] = [0.1, 0.5, 1.0]
-    costs = np.asarray(env.cost_fn(jnp.array(obs), np.zeros((3, 9), np.float32), None))
+    costs = np.asarray(env.cost_fn(jnp.array(obs),
+                                   np.zeros((3, act_dim), np.float32), None))
     assert np.all(np.diff(costs) < 0)  # higher is cheaper
     np.testing.assert_allclose(costs, -obs[:, 2], rtol=1e-5)
 
