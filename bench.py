@@ -23,7 +23,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _backend_is_reachable(timeout_s: float = 120.0) -> bool:
+    """Probe default-backend init in a subprocess with a timeout.
+
+    When the axon TPU tunnel is down, jax.devices() HANGS inside the plugin
+    (it does not error), which would leave the round with no bench artifact
+    at all. The probe isolates that hang in a killable child; on failure the
+    bench falls back to CPU and says so in the JSON line.
+    """
+    if os.environ.get("ICEM_PLATFORM"):          # explicit platform: trust it
+        return True
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    fallback = None
+    if not _backend_is_reachable():
+        os.environ["ICEM_PLATFORM"] = "cpu"
+        fallback = "default backend unreachable (tpu tunnel down); ran on cpu"
+        print(f"bench: {fallback}", file=sys.stderr)
     from icem_tpu.runtime.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
@@ -36,7 +61,9 @@ def main():
     # largest power-of-two population whose full plan step still fits the
     # reference's real-time budget (env dt = 50 ms) on one v5e chip with
     # margin (~24 ms measured with the Pallas rollout kernel)
-    POP = int(os.environ.get("BENCH_POP", 32768))
+    # CPU fallback (tunnel down) keeps the same program shape family but a
+    # population one core can finish in minutes, not hours
+    POP = int(os.environ.get("BENCH_POP", 1024 if fallback else 32768))
     PLAN_STEPS = int(os.environ.get("BENCH_STEPS", 10))
     HORIZON = 30
     # BENCH_SHARDED=1: population sharded over every visible device via
@@ -120,6 +147,8 @@ def main():
             "mean_reward": float(np.mean(np.asarray(rews))),
         },
     }
+    if fallback:
+        result["detail"]["fallback"] = fallback
     print(json.dumps(result))
 
 
