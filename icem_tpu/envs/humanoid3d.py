@@ -234,8 +234,15 @@ def make_humanoid3d_model(dt: float = 0.05, n_substeps: int = 20,
         contact_fmax=900.0,
         friction_mu=1.0,
         friction_kt=280.0,
-        max_qd=30.0,
+        # per-dof velocity caps: joints at ~1.5x the motor speed limit so
+        # limit-spring kicks cannot reach mass-matrix-staleness regimes;
+        # root translation generous enough for real jumps/falls
+        max_qd=np.concatenate([np.full(3, 15.0), np.full(3, 12.0),
+                               np.full(_N_JOINTS, 12.0)]).astype(np.float32),
         motor_omega_max=8.0,     # power-limited joints: can push up, not fly
+        # a -height planner hunts integrator energy leaks (it found the
+        # flail-slam-launch exploit); the valve closes the class
+        energy_valve=True,
         dt=dt,
         n_substeps=n_substeps,
     )

@@ -96,8 +96,23 @@ class SpatialModel:
     contact_fmax: float = np.inf
     friction_mu: float = 1.0
     friction_kt: float = 400.0
-    max_qd: float = 100.0
+    # scalar or per-dof [ndof] velocity clip. Joint clips should sit near the
+    # physical regime (~1.5x motor_omega_max): limit-spring terminal velocity
+    # (limit_stiffness / limit_damping) is what lets joints reach unphysical
+    # speeds where the per-control-step mass matrix is badly stale.
+    max_qd: float | np.ndarray = 100.0
     motor_omega_max: float = np.inf
+    # Energy-consistency valve: physics bounds a control step's stored-energy
+    # growth by the actuator work done (damping/friction only dissipate).
+    # The per-control-step M/Cholesky/bias split (the hot-path optimization)
+    # makes the integrator NON-conservative under violent configuration
+    # change within a step — a planner maximizing height will find and pump
+    # that artifact (the 3D-humanoid "launch" exploit). With the valve, the
+    # end-of-step velocities are rescaled whenever
+    # E(q1, qd1) > E(q0, qd0) + W_actuator + eps, restoring the physical
+    # energy inequality at ~10% extra step cost (two stored_energy evals).
+    energy_valve: bool = False
+    energy_valve_eps: float = 0.1
     # integration
     dt: float = 0.05
     n_substeps: int = 10
@@ -286,6 +301,40 @@ def damping_diagonal(model: SpatialModel, q):
     return damping + jnp.where(in_violation, model.limit_damping, 0.0)
 
 
+def stored_energy(model: SpatialModel, q, qd):
+    """Total mechanical energy the state can release: kinetic + gravity PE +
+    joint-spring PE + limit-spring PE + contact-spring PE.
+
+    Every term the integrator can convert back into motion is included, so
+    the physical inequality dE/dt <= P_actuator (damping, Coulomb friction
+    and the contact normal damper only remove energy) holds exactly for the
+    continuous dynamics — the energy_valve enforces its discrete analog.
+    """
+    e = kinetic_energy(model, q, qd) + potential_energy(model, q)
+
+    stiffness = _per_dof(model, model.stiffness, 0.0)
+    springref = _per_dof(model, model.springref, 0.0)
+    e += 0.5 * jnp.sum(stiffness * (q - springref) ** 2)
+
+    lo = _per_dof(model, model.limit_lo, -np.inf)
+    hi = _per_dof(model, model.limit_hi, np.inf)
+    over = jnp.maximum(q - hi, 0.0)
+    under = jnp.maximum(lo - q, 0.0)
+    e += 0.5 * model.limit_stiffness * jnp.sum(over**2 + under**2)
+
+    if len(model.geom_body) > 0:
+        radius = jnp.asarray(model.geom_radius, jnp.float32)
+        pts = fk(model, q)[2]
+        pen = jnp.maximum(radius - pts[:, 2], 0.0)
+        # piecewise PE consistent with the fmax-capped normal spring:
+        # quadratic below pen* = fmax/kp, linear (constant force) beyond
+        pen_star = model.contact_fmax / model.contact_kp
+        quad = 0.5 * model.contact_kp * jnp.minimum(pen, pen_star) ** 2
+        lin = model.contact_fmax * jnp.maximum(pen - pen_star, 0.0)
+        e += jnp.sum(quad + lin)
+    return e
+
+
 def actuation(model: SpatialModel, ctrl):
     """Map [A] controls to [ndof] torques (torque = gear * ctrl)."""
     tau = jnp.zeros(model.ndof)
@@ -313,8 +362,10 @@ def step(model: SpatialModel, q, qd, ctrl):
     L = cholesky_unrolled(lhs, n)
     bias = bias_forces(model, q, qd)
 
+    max_qd = jnp.asarray(model.max_qd, jnp.float32)   # scalar or [ndof]
+
     def body(carry, _):
-        q_, qd_ = carry
+        q_, qd_, work = carry
         if np.isfinite(model.motor_omega_max):
             speed_factor = jnp.clip(
                 1.0 - qd_ * jnp.sign(tau_ctrl) / model.motor_omega_max, 0.0, 1.0)
@@ -324,9 +375,23 @@ def step(model: SpatialModel, q, qd, ctrl):
         rhs = (tau + spring_forces(model, q_)
                + contact_forces(model, q_, qd_) - bias)
         qd_new = cholesky_solve_unrolled(L, M @ qd_ + dt_sub * rhs, n)
-        qd_new = jnp.clip(qd_new, -model.max_qd, model.max_qd)
+        qd_new = jnp.clip(qd_new, -max_qd, max_qd)
         q_new = q_ + dt_sub * qd_new
-        return (q_new, qd_new), None
+        # discrete actuator work (torque through the displacement it caused)
+        work = work + dt_sub * jnp.dot(tau, qd_new)
+        return (q_new, qd_new, work), None
 
-    (q_new, qd_new), _ = jax.lax.scan(body, (q, qd), None, length=model.n_substeps)
+    (q_new, qd_new, w_act), _ = jax.lax.scan(
+        body, (q, qd, jnp.float32(0.0)), None, length=model.n_substeps)
+
+    if model.energy_valve:
+        e0 = stored_energy(model, q, qd)
+        bound = e0 + jnp.maximum(w_act, 0.0) + model.energy_valve_eps
+        e1 = stored_energy(model, q_new, qd_new)
+        ke1 = kinetic_energy(model, q_new, qd_new)
+        excess = e1 - bound
+        # rescale end-of-step velocities so E1 <= bound (all the removable
+        # energy is kinetic; potential terms depend on q alone)
+        scale2 = jnp.clip((ke1 - excess) / jnp.maximum(ke1, 1e-9), 0.0, 1.0)
+        qd_new = qd_new * jnp.sqrt(scale2)
     return q_new, qd_new

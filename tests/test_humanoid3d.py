@@ -91,6 +91,36 @@ def test_chart_recentring_is_pure_reparametrization():
 
 
 @pytest.mark.slow
+def test_adversarial_flail_cannot_pump_energy():
+    """A -height planner WILL find integrator energy leaks (it found the
+    flail-slam-launch exploit this guards: joints saturated at limit-spring
+    terminal velocity, the stale per-control-step mass matrix injected
+    momentum, one ground slam converted it to a +30 m/s root launch).
+    With the energy valve + per-dof qd caps, maximal alternating full-gear
+    flailing from a 5 m drop must never raise the COM above its release
+    height."""
+    m = make_humanoid3d_model()
+    mass = np.asarray(m.mass)
+
+    def com_z(q):
+        coms, _, _ = spatial.fk(m, q)
+        return float(np.sum(mass * np.asarray(coms)[:, 2]) / mass.sum())
+
+    step = jax.jit(lambda q, qd, c: spatial.step(m, q, qd, c))
+    q = jnp.zeros(23).at[2].set(5.0)
+    qd = jnp.zeros(23)
+    z0 = com_z(q)
+    max_com = 0.0
+    for t in range(100):
+        ctrl = jnp.ones(17) * (1.0 if t % 2 == 0 else -1.0)
+        q, qd = step(q, qd, ctrl)
+        max_com = max(max_com, com_z(q))
+    assert bool(jnp.all(jnp.isfinite(q)))
+    assert max_com < z0 + 0.05, f"energy pumped: COM {max_com} from {z0}"
+    assert com_z(q) < 0.6, "should end slammed on the ground, not airborne"
+
+
+@pytest.mark.slow
 def test_passive_rollouts_do_not_inject_energy():
     """Zero-control rollouts must come to rest without contact/gimbal
     blowups: the standing biped may FALL (unstable equilibrium) but must
