@@ -141,21 +141,32 @@ class Env:
             self.init_kwargs["action_repeat"] = self.action_repeat
             n = self.action_repeat
 
+            # once a substep reports done, later substeps must not accrue
+            # reward or advance state (mirrors the fused episode keep-mask);
+            # otherwise pairing action_repeat with a terminating env would
+            # leak post-termination reward past the terminal state.
             def repeated(state, action):
-                reward = jnp.float32(0.0)
-                done = jnp.float32(0.0)
-                for _ in range(n):
-                    state, obs, r, d = self._raw_step(state, action)
-                    reward = reward + r
+                state, obs, reward, done = self._raw_step(state, action)
+                for _ in range(n - 1):
+                    new_state, new_obs, r, d = self._raw_step(state, action)
+                    alive = 1.0 - done
+                    state = state + alive * (new_state - state)
+                    obs = obs + alive * (new_obs - obs)
+                    reward = reward + alive * r
                     done = jnp.maximum(done, d)
                 return state, obs, reward, done
 
             def repeated_batched(states, actions):
-                rewards = dones = None
-                for _ in range(n):
-                    states, obs, r, d = self._raw_step_batched(states, actions)
-                    rewards = r if rewards is None else rewards + r
-                    dones = d if dones is None else jnp.maximum(dones, d)
+                states, obs, rewards, dones = self._raw_step_batched(
+                    states, actions)
+                for _ in range(n - 1):
+                    new_states, new_obs, r, d = self._raw_step_batched(
+                        states, actions)
+                    alive = 1.0 - dones
+                    states = states + alive[..., None] * (new_states - states)
+                    obs = obs + alive[..., None] * (new_obs - obs)
+                    rewards = rewards + alive * r
+                    dones = jnp.maximum(dones, d)
                 return states, obs, rewards, dones
 
             self.step = repeated

@@ -332,7 +332,13 @@ class HumanoidStandup3D(_Humanoid3DBase):
 
     def cost_fn(self, observation, action, next_obs):
         """Exact reference formula: -height + 0.1*|a|^2 (mujoco.py:259-277)."""
-        up = observation[..., 2]
+        # height lives at obs index 2 only when x/y are in the observation;
+        # with positions excluded it shifts to 0 and index 2 holds chart
+        # pitch — silently optimizing pitch would be a planner bug, so guard
+        # (the reference standup env never exposes the exclusion option).
+        up_idx = (0 if self._exclude_current_positions_from_observation
+                  else 2)
+        up = observation[..., up_idx]
         ctrl_cost = 0.1 * jnp.sum(jnp.square(action), axis=-1)
         return -up + ctrl_cost
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 _enabled = False
+_platform_configured = False
 
 # repo-local default keeps all writes inside the working tree
 _DEFAULT_DIR = os.path.join(
@@ -27,14 +28,37 @@ _DEFAULT_DIR = os.path.join(
     ".cache", "jax")
 
 
+def configure_platform() -> None:
+    """Apply the ICEM_PLATFORM backend override (idempotent).
+
+    e.g. ``ICEM_PLATFORM=cpu`` to run experiments while the TPU tunnel is
+    unavailable. Must happen before backend init — the TPU plugin ignores
+    the ``JAX_PLATFORMS`` env var, only the jax config wins. Deliberately
+    independent of the compile-cache opt-out so ``ICEM_NO_COMPILE_CACHE=1``
+    can never silently drop the platform request (which would hang process
+    startup in TPU init when the tunnel is down).
+    """
+    global _platform_configured
+    if _platform_configured:
+        return
+    platform = os.environ.get("ICEM_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    _platform_configured = True
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     """Turn on JAX's on-disk compilation cache (idempotent).
 
     Returns the cache directory in use, or None when disabled via env.
     Safe to call before or after backend initialization; must be called
-    before the first compilation it should capture.
+    before the first compilation it should capture. Always applies the
+    platform override, even when the cache itself is opted out.
     """
     global _enabled
+    configure_platform()
     if os.environ.get("ICEM_NO_COMPILE_CACHE"):
         return None
     cache_dir = cache_dir or os.environ.get("ICEM_COMPILE_CACHE") or _DEFAULT_DIR
@@ -42,13 +66,6 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
         return cache_dir
     os.makedirs(cache_dir, exist_ok=True)
     import jax
-
-    # platform override (e.g. ICEM_PLATFORM=cpu to run experiments while the
-    # TPU tunnel is unavailable). Must happen before backend init — the TPU
-    # plugin ignores the JAX_PLATFORMS env var, only the config wins.
-    platform = os.environ.get("ICEM_PLATFORM")
-    if platform:
-        jax.config.update("jax_platforms", platform)
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache everything that took noticeable compile time; tiny kernels are

@@ -175,9 +175,18 @@ def main():
                 rows.append(row)
             except Exception as e:
                 traceback.print_exc()
-                rows = [{"error": f"{type(e).__name__}: {e}", "seed": seed}]
+                # append, don't replace: earlier seeds' completed results
+                # already paid full runtime and must survive a later crash
+                rows.append({"error": f"{type(e).__name__}: {e}", "seed": seed})
                 break
-        table[name] = aggregate(rows) if "error" not in rows[0] else rows[0]
+        ok_rows = [r for r in rows if "error" not in r]
+        err_rows = [r for r in rows if "error" in r]
+        if ok_rows:
+            table[name] = aggregate(ok_rows)
+            if err_rows:
+                table[name]["errors"] = err_rows
+        else:
+            table[name] = err_rows[0]
         print(json.dumps({name: table[name]}), file=sys.stderr, flush=True)
         # incremental save so a partial run still leaves an artifact
         with open(out_path, "w") as f:
