@@ -57,6 +57,35 @@ def test_matches_reference_spec_exactly(beta, n):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("beta", [0.25, 1.0, 2.5])
+@pytest.mark.parametrize("n", [30, 12, 31])
+def test_matches_vendored_colorednoise_package(beta, n):
+    """Draw-for-draw parity against the VENDORED `colorednoise` package core
+    (tests/vendor/colorednoise_vendored.py, MIT) — the artifact the reference
+    actually imports, not a paraphrase of its spec.
+
+    The package draws its spectral coefficients via
+    ``Generator.normal(scale=s_scale, size=size)`` which consumes exactly the
+    same underlying standard normals as ``Generator.normal(size=size)``
+    scaled afterwards, so a same-seeded generator recovers the white draws
+    the package used; feeding those into our deterministic core must
+    reproduce the package output bit-for-tolerance.
+    """
+    from tests.vendor import colorednoise_vendored as cn
+
+    seed = 1234
+    shape = (8, 3, n)
+    y_pkg = cn.powerlaw_psd_gaussian(beta, shape, random_state=np.random.default_rng(seed))
+
+    spec_shape = (8, 3, n // 2 + 1)
+    rng = np.random.default_rng(seed)
+    wr = rng.normal(size=spec_shape)
+    wi = rng.normal(size=spec_shape)
+    got = np.asarray(shape_white_spectrum(
+        jnp.array(wr, jnp.float32), jnp.array(wi, jnp.float32), beta, n))
+    np.testing.assert_allclose(got, y_pkg, rtol=3e-4, atol=3e-4)
+
+
 @pytest.mark.parametrize("beta,tol", [(0.0, 0.05), (0.25, 0.05), (2.0, 0.25)])
 def test_unit_variance(beta, tol):
     key = jax.random.key(1)
