@@ -32,6 +32,46 @@ def test_video_recorder_writes_gif(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "live_frame.png"))
 
 
+def test_video_recorder_writes_mjpeg_avi(tmp_path):
+    """The reference's movie artifact is MJPEG (rollout_utils.py:70-81);
+    parse the RIFF container back and verify structure + JPEG payloads."""
+    import struct
+
+    rec = VideoRecorder(str(tmp_path), "ep0", fps=20)
+    rng = np.random.default_rng(0)
+    for i in range(7):
+        rec.append(rng.integers(0, 255, (48, 64, 3)).astype(np.uint8))
+    rec.close()
+    path = os.path.join(str(tmp_path), "ep0.avi")
+    data = open(path, "rb").read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    # avih: total frames at offset 16 into the avih payload
+    avih_at = data.index(b"avih") + 8
+    n_frames = struct.unpack("<I", data[avih_at + 16:avih_at + 20])[0]
+    assert n_frames == 7
+    assert b"vids" in data and b"MJPG" in data
+    # walk the movi chunks: each 00dc payload must be a JPEG (SOI..EOI)
+    movi_at = data.index(b"movi")
+    at = movi_at + 4
+    count = 0
+    while data[at:at + 4] == b"00dc":
+        size = struct.unpack("<I", data[at + 4:at + 8])[0]
+        jpeg = data[at + 8:at + 8 + size]
+        assert jpeg[:2] == b"\xff\xd8" and jpeg[-2:] == b"\xff\xd9"
+        from PIL import Image
+        import io
+        img = Image.open(io.BytesIO(jpeg))
+        assert img.size == (64, 48)
+        at += 8 + size + (size % 2)
+        count += 1
+    assert count == 7
+    # idx1 exists and indexes all frames
+    idx_at = data.index(b"idx1")
+    idx_size = struct.unpack("<I", data[idx_at + 4:idx_at + 8])[0]
+    assert idx_size == 7 * 16
+
+
 def test_rollout_manager_records_episode(tmp_path):
     Seeding.set_seed(0)
     env = env_from_string("Hopper",
