@@ -30,9 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from icem_tpu.envs.base import BoxSpace, Env
-from icem_tpu.envs.physics import spatial
+from icem_tpu.envs.base import BoxSpace
 from icem_tpu.envs.physics.spatial import SpatialModel
+from icem_tpu.envs.spatial_base import SpatialEnv
 
 _AZIMUTHS = (np.pi / 4, 3 * np.pi / 4, 5 * np.pi / 4, 7 * np.pi / 4)
 _HIP_R = 0.2        # hip anchor distance from torso center
@@ -119,8 +119,13 @@ def make_ant3d_model(dt: float = 0.05, n_substeps: int = 20) -> SpatialModel:
     )
 
 
-class Ant3D(Env):
-    """reference: environments/mujoco.py:134-171 ("Ant" factory entry)."""
+class Ant3D(SpatialEnv):
+    """reference: environments/mujoco.py:134-171 ("Ant" factory entry).
+
+    Dynamics run on the spatial engine's population-batched fast path
+    (envs/spatial_base.py -> physics/spatial_batched.py) under planners;
+    per-trajectory steps use the autodiff engine they are validated
+    against."""
 
     name = "Ant"
     nq = 14   # [x, y, z, roll, pitch, yaw, 8 joints]
@@ -165,17 +170,14 @@ class Ant3D(Env):
             )
         return observation
 
-    def step(self, state, action):
-        action = jnp.clip(action, -1.0, 1.0)
-        q, qd = spatial.step(self.model, state[:14], state[14:], action)
-        new_state = jnp.concatenate([q, qd])
+    def _post_step(self, state, new_state, action):
         x_velocity = (new_state[0] - state[0]) / self.dt
         z = new_state[2]
         healthy = ((z >= self._healthy_z_range[0])
                    & (z <= self._healthy_z_range[1])).astype(jnp.float32)
         reward = (x_velocity + self._healthy_reward * healthy
                   - self._ctrl_cost_weight * jnp.sum(jnp.square(action)))
-        return new_state, self.observation(new_state), reward, 1.0 - healthy
+        return self.observation(new_state), reward, 1.0 - healthy
 
     def are_states_unhealthy(self, states):
         """Batched unhealthy flag over position-included obs (mujoco.py:148-150)."""

@@ -54,9 +54,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from icem_tpu.envs.base import BoxSpace, Env
-from icem_tpu.envs.physics import spatial
+from icem_tpu.envs.base import BoxSpace
 from icem_tpu.envs.physics.spatial import SpatialModel
+from icem_tpu.envs.spatial_base import SpatialEnv
 
 _TINY_MASS = 0.05
 _THIGH_L = 0.45
@@ -248,7 +248,7 @@ def make_humanoid3d_model(dt: float = 0.05, n_substeps: int = 20,
     )
 
 
-class _Humanoid3DBase(Env):
+class _Humanoid3DBase(SpatialEnv):
     nq = 6 + _N_JOINTS   # 23: [x, y, z, roll, pitch, yaw, 17 joints]
     nv = 6 + _N_JOINTS
     dt = 0.05
@@ -287,11 +287,6 @@ class _Humanoid3DBase(Env):
                 "'exclude_current_positions_from_observation': false")
         return observation
 
-    def _step_dynamics(self, state, action):
-        action = jnp.clip(action, -1.0, 1.0)
-        q, qd = spatial.step(self.model, state[:self.nq], state[self.nq:], action)
-        return jnp.concatenate([q, qd])
-
     def render_frame(self, state):
         """Sagittal (x, z) wireframe projection of the 3D skeleton."""
         from icem_tpu.envs.physics.render import render_spatial_xz
@@ -321,14 +316,13 @@ class HumanoidStandup3D(_Humanoid3DBase):
         qd = 0.01 * jax.random.normal(k2, (self.nv,))
         return jnp.concatenate([q, qd])
 
-    def step(self, state, action):
-        new_state = self._step_dynamics(state, action)
+    def _post_step(self, state, new_state, action):
         obs = self.observation(new_state)
         height = new_state[2]
         ctrl = 0.1 * jnp.sum(jnp.square(action))
         # gym standup reward analog: height gain rate minus quad ctrl cost
         reward = height / self.dt * 0.04 - ctrl + 1.0
-        return new_state, obs, reward, jnp.float32(0.0)
+        return obs, reward, jnp.float32(0.0)
 
     def cost_fn(self, observation, action, next_obs):
         """Exact reference formula: -height + 0.1*|a|^2 (mujoco.py:259-277)."""
@@ -358,8 +352,7 @@ class Humanoid3D(_Humanoid3DBase):
         qd = 0.01 * jax.random.normal(k2, (self.nv,))
         return jnp.concatenate([q, qd])
 
-    def step(self, state, action):
-        new_state = self._step_dynamics(state, action)
+    def _post_step(self, state, new_state, action):
         obs = self.observation(new_state)
         x_vel = (new_state[0] - state[0]) / self.dt
         z = new_state[2]
@@ -367,7 +360,7 @@ class Humanoid3D(_Humanoid3DBase):
                    & (z < self._healthy_z_range[1])).astype(jnp.float32)
         reward = (self._forward_reward_weight * x_vel + 5.0 * healthy
                   - self._ctrl_cost_weight * jnp.sum(jnp.square(action)))
-        return new_state, obs, reward, 1.0 - healthy
+        return obs, reward, 1.0 - healthy
 
     def unhealthy_states(self, states):
         """Both branches of the reference's unhealthy_states

@@ -327,11 +327,16 @@ def stored_energy(model: SpatialModel, q, qd):
         pts = fk(model, q)[2]
         pen = jnp.maximum(radius - pts[:, 2], 0.0)
         # piecewise PE consistent with the fmax-capped normal spring:
-        # quadratic below pen* = fmax/kp, linear (constant force) beyond
-        pen_star = model.contact_fmax / model.contact_kp
-        quad = 0.5 * model.contact_kp * jnp.minimum(pen, pen_star) ** 2
-        lin = model.contact_fmax * jnp.maximum(pen - pen_star, 0.0)
-        e += jnp.sum(quad + lin)
+        # quadratic below pen* = fmax/kp, linear (constant force) beyond.
+        # With fmax = inf the linear branch would be inf * 0 = nan, so it
+        # only exists for finite caps (pure quadratic otherwise).
+        if np.isfinite(model.contact_fmax):
+            pen_star = model.contact_fmax / model.contact_kp
+            quad = 0.5 * model.contact_kp * jnp.minimum(pen, pen_star) ** 2
+            lin = model.contact_fmax * jnp.maximum(pen - pen_star, 0.0)
+            e += jnp.sum(quad + lin)
+        else:
+            e += jnp.sum(0.5 * model.contact_kp * pen**2)
     return e
 
 
