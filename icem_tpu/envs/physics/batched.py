@@ -333,7 +333,11 @@ def _cholesky_rows(A_rows, n: int):
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
-                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-9))
+                # relative pivot floor — must match planar.cholesky_unrolled
+                # exactly (the fast/autodiff path equivalence tests compare
+                # trajectories through near-singular charts); rationale there
+                L[i][j] = jnp.sqrt(jnp.maximum(
+                    s, jnp.maximum(1e-5 * A_rows[i][i], 1e-9)))
             else:
                 L[i][j] = s / L[j][j]
     return L

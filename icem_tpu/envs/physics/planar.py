@@ -311,7 +311,17 @@ def cholesky_unrolled(A, n: int):
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
-                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-9))
+                # pivot floor RELATIVE to the diagonal: near a singular
+                # configuration (rpy gimbal lock) f32 roundoff drives the
+                # Schur complement to ~eps*A_ii; an absolute 1e-9 floor
+                # makes 1/L ~ 3e4, and the back-substitution's alternating
+                # huge products overflow to inf - inf = nan over ~14 dofs.
+                # Flooring at 1e-5*A_ii bounds the amplification — the lost
+                # dof direction gets extra inertia (bounded acceleration)
+                # instead of a NaN'd state; well-conditioned steps never
+                # reach the floor.
+                L[i][j] = jnp.sqrt(jnp.maximum(
+                    s, jnp.maximum(1e-5 * A[..., i, i], 1e-9)))
             else:
                 L[i][j] = s / L[j][j]
     return L

@@ -32,7 +32,15 @@ from icem_tpu.envs.physics import spatial, spatial_batched
 class SpatialEnv(Env):
     """Env whose dynamics live on the spatial 3D engine."""
 
-    batched_min_pop = 64  # below this, lane utilization doesn't pay for the relayout
+    # The tile path wins at ANY planner population: even at partial lane
+    # fill (pop 40 -> 5 of 128 lanes per [8, L] tile) the closed-form
+    # no-autodiff formulation beats vmap(jacfwd-engine) on BOTH compile
+    # time (minutes -> seconds: the traced graph has no ndof× jacfwd blowup)
+    # and runtime (measured 38× at pop 4096, results/BENCH_SPATIAL_r04).
+    # The threshold only exists so single-trajectory debugging paths (and
+    # the equivalence tests' per-row reference) keep using the autodiff
+    # engine directly.
+    batched_min_pop = 8
 
     def _post_step(self, state, new_state, action):
         """(obs, reward, done) from the transition; action arrives clipped."""

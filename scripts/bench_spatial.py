@@ -113,7 +113,13 @@ def main():
     from icem_tpu.envs.ant3d import Ant3D
     from icem_tpu.envs.humanoid3d import HumanoidStandup3D
 
-    makers = {"ant3d": Ant3D, "humanoid_standup3d": HumanoidStandup3D}
+    # GT planning needs positions in the obs (Ant3D.cost_fn's x-velocity
+    # delta and the GT-state round-trip both require them)
+    makers = {
+        "ant3d": lambda: Ant3D(
+            exclude_current_positions_from_observation=False),
+        "humanoid_standup3d": HumanoidStandup3D,
+    }
     out = {"devices": [str(d) for d in jax.devices()], "envs": {}}
     for name in args.envs.split(","):
         env = makers[name]()

@@ -39,6 +39,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
+
+# the axon TPU plugin ignores JAX_PLATFORMS; the config route sticks. The
+# oracle is a host-side harness (mujoco is CPU-only) — keep it off the chip.
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 import mujoco  # noqa: E402
 

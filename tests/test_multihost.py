@@ -6,6 +6,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _PROG = r"""
@@ -57,3 +59,37 @@ def test_multihost_bootstrap_single_process_dryrun():
                          capture_output=True, text=True, timeout=420)
     assert "MULTIHOST_DRYRUN_OK" in out.stdout, \
         f"stdout:\n{out.stdout}\nstderr:\n{out.stderr[-2000:]}"
+
+
+def _run_dryrun(n_processes):
+    """Launch __graft_entry__.dryrun_multichip(8, n_processes=...) in a clean
+    subprocess (jax.distributed.initialize must precede backend init) and
+    return the DRYRUN_ACTION_BITS fingerprint of the two planned actions."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "ICEM_MULTIHOST", "ICEM_COORDINATOR",
+                        "ICEM_NUM_PROCESSES", "ICEM_PROCESS_ID",
+                        "ICEM_DRYRUN_WORKER", "ICEM_DRYRUN_PROCESSES")}
+    env["JAX_PLATFORMS"] = "cpu"
+    prog = (f"import __graft_entry__ as g; "
+            f"g.dryrun_multichip(8, n_processes={n_processes})")
+    out = subprocess.run([sys.executable, "-c", prog], env=env, cwd=REPO,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, \
+        f"stdout:\n{out.stdout}\nstderr:\n{out.stderr[-3000:]}"
+    bits = [l.split()[1] for l in out.stdout.splitlines()
+            if l.startswith("DRYRUN_ACTION_BITS")]
+    assert bits, f"no action fingerprint in stdout:\n{out.stdout}"
+    return bits[-1]
+
+
+@pytest.mark.slow
+def test_two_process_gloo_plan_matches_single_process():
+    """The REAL multi-process path (SURVEY §5.8 DCN analog): two coordinated
+    OS processes (4+4 CPU devices, gloo collectives) must plan actions
+    bitwise-identical to the 1-process 8-device run. Replaces the reference's
+    worker-pool scatter/gather (icem/models/gt_par_model.py:66-94)."""
+    single = _run_dryrun(1)
+    two = _run_dryrun(2)
+    assert two == single, (
+        f"2-process gloo plan diverged from single-process plan:\n"
+        f"  1proc: {single}\n  2proc: {two}")

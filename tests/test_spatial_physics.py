@@ -209,3 +209,39 @@ def test_ant3d_obs_contract_and_stand():
     assert float(done) == 0.0
     # roll/pitch stay near level standing still
     assert abs(float(obs[3])) < 0.2 and abs(float(obs[4])) < 0.2
+
+
+@pytest.mark.slow
+def test_ant3d_adversarial_flail_cannot_pump_energy():
+    """Closes VERDICT r3 Weak #9: Ant3D now runs the same energy valve as
+    Humanoid3D (ant3d.py make_ant3d_model), so the flail-slam-launch exploit
+    class (saturated joints + per-control-step frozen mass matrix injecting
+    momentum, converted to a root launch by a ground slam) is closed for the
+    quadruped too. Maximal alternating full-gear flailing from a 3 m drop
+    must never raise the COM above its release height, and must end on the
+    ground, not airborne (launch = flight = no contact = free -x_velocity
+    for the planner, the exploit the valve forbids)."""
+    from icem_tpu.envs.ant3d import make_ant3d_model
+
+    m = make_ant3d_model()
+    assert m.energy_valve, "Ant3D model must ship with the energy valve on"
+    mass = np.asarray(m.mass)
+
+    def com_z(q):
+        coms, _, _ = spatial.fk(m, q)
+        return float(np.sum(mass * np.asarray(coms)[:, 2]) / mass.sum())
+
+    step = jax.jit(lambda q, qd, c: spatial.step(m, q, qd, c))
+    q = jnp.zeros(m.ndof).at[2].set(3.0)
+    qd = jnp.zeros(m.ndof)
+    z0 = com_z(q)
+    max_com = 0.0
+    for t in range(100):
+        ctrl = jnp.ones(8) * (1.0 if t % 2 == 0 else -1.0)
+        q, qd = step(q, qd, ctrl)
+        max_com = max(max_com, com_z(q))
+    assert bool(jnp.all(jnp.isfinite(q)))
+    assert max_com < z0 + 0.05, f"energy pumped: COM {max_com} from {z0}"
+    # grounded, not launched: a splayed ant's COM rests at ~0.5 m (root z
+    # up to ~0.55 inside the healthy band); airborne would be >> 1
+    assert com_z(q) < 0.8, "should end on the ground, not airborne"
