@@ -203,15 +203,29 @@ class RolloutManager:
                                    env_state if use_env_states else None,
                                    model_params)
                 env_state2, ob2, rew, done = env.step(env_state, action)
-                # freeze after termination (mask instead of break)
-                keep = 1.0 - done_before
+                # physics blow-up containment, matching the host path's
+                # truncation (rollout.py:121-127; the MujocoException-skip
+                # analog, reference rollout_utils.py:189-194): a non-finite
+                # next observation or state leaf is terminal AND its own
+                # transition is invalid — the host breaks BEFORE appending,
+                # so keep=0 for the blown step itself, not just after it.
+                blown = ~jnp.all(jnp.isfinite(ob2))
+                blown = blown | ~jax.tree_util.tree_reduce(
+                    lambda acc, leaf: acc & jnp.all(jnp.isfinite(leaf)),
+                    env_state2, jnp.bool_(True))
+                blown_f = blown.astype(jnp.float32)
+                # freeze after termination or blow-up (mask instead of
+                # break); freezing to the last FINITE state keeps every
+                # subsequent planner/env step NaN-free
+                dead = (done_before > 0) | blown
+                keep = (1.0 - done_before) * (1.0 - blown_f)
                 env_state2 = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(done_before > 0, old, new),
+                    lambda new, old: jnp.where(dead, old, new),
                     env_state2, env_state)
-                ob2 = jnp.where(done_before > 0, ob, ob2)
-                rew = rew * keep
+                ob2 = jnp.where(dead, ob, ob2)
+                rew = jnp.where(keep > 0, rew, 0.0)
                 succ = env.is_success(ob, action, ob2) if has_success else jnp.float32(0)
-                done_after = jnp.maximum(done_before, done)
+                done_after = jnp.maximum(done_before, jnp.maximum(done, blown_f))
                 out = (ob, ob2, action, rew, done_after, keep, succ)
                 return (env_state2, ob2, ps2, done_after), out
 
