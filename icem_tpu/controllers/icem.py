@@ -482,9 +482,17 @@ class MpcICem(ModelConsistencyMixin):
                  horizon=30, num_simulated_trajectories=40, factor_decrease_num=1.25,
                  cost_along_trajectory="sum", use_env_reward_as_cost=False,
                  verbose=False, do_visualize_plan=False, seed: Optional[int] = None,
-                 sharded=False, cem_loop="unrolled", **kwargs):
+                 sharded=False, cem_loop="auto", **kwargs):
         asp = dict(action_sampler_params or {})
         _validate_sampler_params(asp, _ICEM_SAMPLER_KEYS)
+        if cem_loop == "auto":
+            # spatial (3D) envs have a large per-step program: unrolling the
+            # CEM iterations multiplies it by opt_iterations, which is most
+            # of the 3D compile tax (r4: 544 s cold). The single-shape
+            # scanned loop traces the rollout body once; planar envs keep
+            # the unrolled loop, whose shrinking populations do less work.
+            from icem_tpu.envs.spatial_base import SpatialEnv
+            cem_loop = "scan" if isinstance(env, SpatialEnv) else "unrolled"
         self.env = env
         self.forward_model = forward_model
         self.cfg = ICemConfig(

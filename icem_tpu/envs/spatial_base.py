@@ -42,6 +42,14 @@ class SpatialEnv(Env):
     # engine directly.
     batched_min_pop = 8
 
+    # Fused-episode budget consumed by RolloutManager's fuse_on_device=auto:
+    # the spatial per-step program is large enough that fusing many long
+    # episodes into one device program can crash the TPU runtime (r4:
+    # humanoid_standup 5×1000 fused steps — UNAVAILABLE worker crash), while
+    # 3×300-step humanoid/ant fused programs run fine. Workloads above this
+    # many total episode steps per sample() call fall back to the host loop.
+    fused_episode_step_limit = 2000
+
     def _post_step(self, state, new_state, action):
         """(obs, reward, done) from the transition; action arrives clipped."""
         raise NotImplementedError

@@ -51,7 +51,16 @@ class RolloutManager:
         rec = p.get("record", False)
         self.record = rec if isinstance(rec, str) else ("videos" if rec else "")
         self.num_parallel = int(p.get("num_parallel", 0))
-        self.fuse_on_device = bool(p.get("fuse_on_device", True))
+        # fuse_on_device: true | false | "auto" (default). Auto fuses unless
+        # the env advertises a fused-program step budget and the requested
+        # workload exceeds it — the escape hatch for the spatial (3D) envs,
+        # whose fused many-episode programs can exceed what the TPU runtime
+        # will take in one program (r4: 5×1000-step fused humanoid_standup
+        # episodes crashed the worker; the host loop with jitted plan steps
+        # runs the same config fine).
+        self.fuse_on_device = p.get("fuse_on_device", "auto")
+        if not isinstance(self.fuse_on_device, str):
+            self.fuse_on_device = bool(self.fuse_on_device)
         self._episode_counter = 0
         self._epoch = 0
         # fused-episode compile cache: learned weights flow in as a runtime
@@ -68,7 +77,18 @@ class RolloutManager:
     def sample(self, policy, render: bool = False, mode: str = "train",
                name: str = "", no_rollouts: int = 1, desc: str = "rollout"):
         """Collect ``no_rollouts`` episodes (rollout_utils.py:89-114)."""
-        can_fuse = (self.fuse_on_device and not render and not self.record
+        fuse = self.fuse_on_device
+        if fuse == "auto":
+            limit = getattr(self.env, "fused_episode_step_limit", None)
+            fuse = (limit is None
+                    or no_rollouts * self.task_horizon <= int(limit))
+            if not fuse and not getattr(self, "_warned_auto_unfuse", False):
+                self._warned_auto_unfuse = True
+                print(f"RolloutManager: fuse_on_device=auto falling back to "
+                      f"the host episode loop ({no_rollouts}x"
+                      f"{self.task_horizon} steps exceeds the env's fused-"
+                      f"program budget of {limit})")
+        can_fuse = (fuse and not render and not self.record
                     and hasattr(policy, "functional_plan"))
         if can_fuse:
             return self.sample_on_device(policy, mode=mode, no_rollouts=no_rollouts)

@@ -47,7 +47,7 @@ TRUNCATE_ITERS = {
 }
 
 
-def run_config(path: str, out_root: str, seed: int):
+def run_config(path: str, out_root: str, seed: int, force_unfuse: bool = False):
     from icem_tpu.main import run
     from icem_tpu.runtime.config import resolve_settings
 
@@ -62,7 +62,7 @@ def run_config(path: str, out_root: str, seed: int):
         # gives the per-seed mean some width at negligible extra compile cost
         over["number_of_rollouts"] = max(3, int(params.get("number_of_rollouts", 1)))
     rp_over = {}
-    if os.environ.get("ICEM_QUALITY_NO_FUSE"):
+    if force_unfuse or os.environ.get("ICEM_QUALITY_NO_FUSE"):
         # escape hatch for configs whose fused-episode program crashes the
         # axon remote-compile worker: host-driven episodes, jitted plan steps
         rp_over["fuse_on_device"] = False
@@ -114,7 +114,7 @@ def run_config(path: str, out_root: str, seed: int):
         row["truncated_to_iters"] = truncated
     if os.environ.get("ICEM_QUALITY_TH"):
         row["truncated_task_horizon"] = int(os.environ["ICEM_QUALITY_TH"])
-    if os.environ.get("ICEM_QUALITY_NO_FUSE"):
+    if force_unfuse or os.environ.get("ICEM_QUALITY_NO_FUSE"):
         row["unfused_episodes"] = True
     if "train_mean_success" in info:
         row["final_mean_success"] = round(float(info["train_mean_success"][-1]), 3)
@@ -179,10 +179,28 @@ def main():
                 rows.append(row)
             except Exception as e:
                 traceback.print_exc()
-                # append, don't replace: earlier seeds' completed results
-                # already paid full runtime and must survive a later crash
-                rows.append({"error": f"{type(e).__name__}: {e}", "seed": seed})
-                break
+                # a fused-episode program can crash the TPU runtime outright
+                # (r4: humanoid_standup blitz, UNAVAILABLE worker crash);
+                # the seed already paid for its compile, so retry it once
+                # through the host episode loop and record the degradation
+                # instead of losing the row to a bare error string
+                try:
+                    print(f"=== {name} seed {seed}: retrying unfused after "
+                          f"{type(e).__name__}", file=sys.stderr, flush=True)
+                    name, row = run_config(path, out_root, seed,
+                                           force_unfuse=True)
+                    row["fused_error"] = f"{type(e).__name__}: {e}"
+                    rows.append(row)
+                    continue
+                except Exception as e2:
+                    traceback.print_exc()
+                    # append, don't replace: earlier seeds' completed results
+                    # already paid full runtime and must survive a later crash
+                    rows.append({"error": f"{type(e).__name__}: {e}; "
+                                          f"unfused retry: "
+                                          f"{type(e2).__name__}: {e2}",
+                                 "seed": seed})
+                    break
         ok_rows = [r for r in rows if "error" not in r]
         err_rows = [r for r in rows if "error" in r]
         if ok_rows:
