@@ -43,6 +43,9 @@ def bench_env(name, env, pop, horizon, plan_steps, n_rep=3):
         horizon=horizon, num_simulated_trajectories=pop,
         factor_decrease_num=1.25, noise_beta=1.0,
         elites_size=max(10, pop // 64),
+        # shipped default for spatial envs (MpcICem cem_loop="auto"): the
+        # single-shape scanned CEM loop — also what the quality campaign runs
+        cem_loop="scan",
         action_dim=n_act, action_low=(-1.0,) * n_act,
         action_high=(1.0,) * n_act,
     )
@@ -86,6 +89,10 @@ def bench_env(name, env, pop, horizon, plan_steps, n_rep=3):
     return {
         "population": pop,
         "horizon": horizon,
+        # provenance: the benched env construction and loop flavor, so
+        # cross-round timings are comparable without reading the script
+        "env_kwargs": {k: v for k, v in env.init_kwargs.items()},
+        "cem_loop": cfg.cem_loop,
         "traj_per_plan_step": traj_per_plan_step,
         "plan_step_ms": round(plan_ms, 2),
         "rollouts_per_s": round(rollouts_per_s, 1),
@@ -97,8 +104,12 @@ def bench_env(name, env, pop, horizon, plan_steps, n_rep=3):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=4)
-    ap.add_argument("--pop", type=int, default=4096)
+    ap.add_argument("--round", type=int, default=5)
+    # two shipped operating points: reference-scale planning population
+    # (~500 trajectories/iteration, the real-time-budget question) and the
+    # throughput point used since r4
+    ap.add_argument("--pop", default="504,4096",
+                    help="comma-separated population sizes")
     ap.add_argument("--horizon", type=int, default=30)
     ap.add_argument("--plan-steps", type=int, default=5)
     ap.add_argument("--envs", default="ant3d,humanoid_standup3d")
@@ -115,26 +126,32 @@ def main():
 
     # GT planning needs positions in the obs (Ant3D.cost_fn's x-velocity
     # delta and the GT-state round-trip both require them)
+    from icem_tpu.envs.humanoid3d import Humanoid3D
     makers = {
         "ant3d": lambda: Ant3D(
             exclude_current_positions_from_observation=False),
         "humanoid_standup3d": HumanoidStandup3D,
+        "humanoid3d": Humanoid3D,
     }
+    pops = [int(p) for p in str(args.pop).split(",")]
     out = {"devices": [str(d) for d in jax.devices()], "envs": {}}
     for name in args.envs.split(","):
-        env = makers[name]()
-        res = {"fast": bench_env(name, env, args.pop, args.horizon,
-                                 args.plan_steps)}
-        if not args.skip_generic:
-            env_g = makers[name]()
-            env_g.batched_min_pop = 1 << 60     # force the vmap fallback
-            # the generic path is brutally slower: one plan step only
-            res["generic"] = bench_env(name, env_g, args.pop, args.horizon,
-                                       plan_steps=1, n_rep=1)
-            res["speedup"] = round(res["generic"]["plan_step_ms"]
-                                   / res["fast"]["plan_step_ms"], 1)
+        res = {}
+        for pop in pops:
+            env = makers[name]()
+            row = {"fast": bench_env(name, env, pop, args.horizon,
+                                     args.plan_steps)}
+            if not args.skip_generic and pop == max(pops):
+                env_g = makers[name]()
+                env_g.batched_min_pop = 1 << 60  # force the vmap fallback
+                # the generic path is brutally slower: one plan step only
+                row["generic"] = bench_env(name, env_g, pop, args.horizon,
+                                           plan_steps=1, n_rep=1)
+                row["speedup"] = round(row["generic"]["plan_step_ms"]
+                                       / row["fast"]["plan_step_ms"], 1)
+            res[f"pop{pop}"] = row
+            print(json.dumps({"env": name, "pop": pop, **row}), flush=True)
         out["envs"][name] = res
-        print(json.dumps({"env": name, **res}), flush=True)
 
     path = os.path.join("results", f"BENCH_SPATIAL_r{args.round:02d}.json")
     with open(path, "w") as f:

@@ -208,21 +208,38 @@ ENVS = {}
 
 
 def _register_envs():
+    import dataclasses
+
     from icem_tpu.envs.ant3d import make_ant3d_model
     from icem_tpu.envs.cheetah import HalfCheetah
     from icem_tpu.envs.hopper import Hopper
     from icem_tpu.envs.humanoid3d import make_humanoid3d_model
 
+    # The DC-motor speed-torque line, the energy valve and the max_qd
+    # velocity rail are deliberate env robustness features with no MJCF
+    # equivalent. The airborne regimes strip them so the oracle compares the
+    # shared rigid-body dynamics — this matters: the 2 s ballistic/smooth
+    # runs free-fall 19.6 m, and humanoid3d's 15 m/s root rail capped the
+    # fall speed while MuJoCo kept accelerating — r4 reported that 1.09 m of
+    # root-z gap as 0.223 "ballistic drift" (= 1.087/sqrt(23) q_rmse) when
+    # the Lagrangian core actually matches at ~1.6e-4. The contact regime
+    # keeps the shipped model (rails and all): it documents the drift of the
+    # env users actually run, and without the rail hopper's penalty-contact
+    # kicks blow past float range where MuJoCo's solver stays bounded.
     ENVS["ant3d"] = (make_ant3d_model(), True)
     ENVS["halfcheetah"] = (HalfCheetah().model, False)
     ENVS["hopper"] = (Hopper().model, False)
-    # the DC-motor speed-torque line and the energy valve are deliberate env
-    # features with no MJCF equivalent — strip them so the oracle compares
-    # the shared rigid-body dynamics (noted in the artifact)
+    ENVS["humanoid3d"] = (
+        make_humanoid3d_model(chart_center_pitch=-np.pi / 4), True)
+
+
+def _strip_rails(model):
+    """Airborne-regime twin: robustness rails off (see _register_envs)."""
     import dataclasses
-    ENVS["humanoid3d"] = (dataclasses.replace(
-        make_humanoid3d_model(chart_center_pitch=-np.pi / 4),
-        motor_omega_max=np.inf, energy_valve=False), True)
+    over = {"motor_omega_max": np.inf, "max_qd": np.inf}
+    if hasattr(model, "energy_valve"):
+        over["energy_valve"] = False
+    return dataclasses.replace(model, **over)
 
 
 def main():
@@ -240,7 +257,19 @@ def main():
         _AIR_Z[0] = 0.5 * float(model.gravity) * t_total ** 2 + 3.0
         n_act = len(model.actuator_dof)
         gear_max = float(np.max(model.gear)) if len(model.actuator_dof) else 1.0
-        runners = make_runners(model, is_spatial)
+        stripped = _strip_rails(model)
+        # contact regime: shipped model, except the DC-motor speed-torque
+        # line which the MJCF export refuses (finite motor_omega_max has no
+        # MuJoCo analog); max_qd and the energy valve stay on our side —
+        # the contact drift documents the env users actually run
+        import dataclasses
+        contact_model = (dataclasses.replace(model, motor_omega_max=np.inf)
+                         if np.isfinite(model.motor_omega_max) else model)
+        regime_runners = {
+            "ballistic": make_runners(stripped, is_spatial),
+            "contact": make_runners(contact_model, is_spatial),
+        }
+        regime_runners["smooth"] = regime_runners["ballistic"]
         per_env = {}
         for regime, mk_state, act_scale in (
                 ("ballistic", _smooth_state, 0.0),
@@ -249,13 +278,16 @@ def main():
                 # gear=200 at scale 0.1 slams joints into their limits)
                 ("smooth", _smooth_state, min(0.1, 5.0 / gear_max)),
                 ("contact", _contact_state, 0.5)):
+            runners = regime_runners[regime]
+            regime_model = stripped if regime != "contact" else contact_model
             agg = None
             for s in range(args.seeds):
                 rng = np.random.default_rng(1000 * args.round + s)
                 q0, qd0 = mk_state(model, rng, is_spatial)
                 actions = act_scale * rng.standard_normal(
                     (args.horizon, n_act))
-                r = compare(model, q0, qd0, actions, is_spatial, runners)
+                r = compare(regime_model, q0, qd0, actions, is_spatial,
+                            runners)
                 if agg is None:
                     agg = {k: [v] for k, v in r.items()}
                 else:
@@ -304,8 +336,11 @@ def main():
             "(per-control-step frozen mass matrix vs per-substep, f32 vs f64)",
             "contact regime: penalty contacts/limits (ours) vs complementarity "
             "solver (MuJoCo) — structural model difference, quantified here",
-            "humanoid3d compared with motor_omega_max/energy_valve stripped "
-            "from both sides (deliberate env features, no MJCF equivalent)",
+            "ballistic/smooth compared with motor_omega_max/energy_valve/"
+            "max_qd stripped (deliberate env robustness features, no MJCF "
+            "equivalent); contact keeps the shipped model. r4's humanoid3d "
+            "0.223 'ballistic drift' was the 15 m/s max_qd root rail capping "
+            "a 19.6 m free fall, not a dynamics mismatch",
         ],
     }
     path = os.path.join("results", f"FIDELITY_r{args.round:02d}.json")

@@ -73,9 +73,16 @@ def run_config(path: str, out_root: str, seed: int, force_unfuse: bool = False):
         over["rollout_params"] = {**params.rollout_params.get_pickleable(),
                                   **rp_over}
     truncated = None
+    is_gt = params.forward_model in ("GroundTruthModel",
+                                     "ParallelGroundTruthModel")
     if name in TRUNCATE_ITERS and not os.environ.get("ICEM_QUALITY_FULL"):
         truncated = TRUNCATE_ITERS[name]
         over["training_iterations"] = truncated
+    elif is_gt and int(params.training_iterations) < 3:
+        # GT episodes are independent: >=3 iterations x >=3 rollouts gives
+        # each seed 9+ episodes, and steady-state throughput excludes the
+        # compile-paying first iteration (VERDICT r4 #2)
+        over["training_iterations"] = 3
     elif int(params.training_iterations) < 2:
         # at least two iterations so steady-state throughput excludes compile
         over["training_iterations"] = 2
