@@ -32,7 +32,12 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var (CLAUDE.md gotcha);
+# force CPU through jax.config so this check never contends for the tunnel
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
