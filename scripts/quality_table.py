@@ -158,10 +158,41 @@ def aggregate(rows):
     return agg
 
 
+def _one_seed_entry(config_name: str, seed: int, force_unfuse: bool):
+    """Subprocess entry: run ONE (config, seed) and print the row as a
+    marker-tagged JSON line. Isolation matters: a TPU worker crash poisons
+    the whole JAX backend of its process (every later device call raises
+    UNAVAILABLE), so the r4/r5 in-process 'retry unfused' was dead on
+    arrival — only a fresh process can actually retry."""
+    path = os.path.join(REPO, "settings", config_name + ".json")
+    out_root = os.path.join(REPO, "results", "quality_runs")
+    _, row = run_config(path, out_root, seed, force_unfuse=force_unfuse)
+    print("QUALITY_ROW " + json.dumps(row), flush=True)
+
+
+def _run_seed_subprocess(name: str, seed: int, force_unfuse: bool):
+    """Run one (config, seed) in a fresh interpreter; return (row, err)."""
+    import subprocess
+    prog = ("import scripts.quality_table as q; "
+            f"q._one_seed_entry({name!r}, {seed}, {force_unfuse})")
+    proc = subprocess.Popen([sys.executable, "-c", prog], cwd=REPO,
+                            stdout=subprocess.PIPE, stderr=sys.stderr,
+                            text=True)
+    try:
+        out, _ = proc.communicate()
+    except BaseException:
+        proc.kill()
+        proc.wait(timeout=30)
+        raise
+    for line in (out or "").splitlines():
+        if line.startswith("QUALITY_ROW "):
+            return json.loads(line[len("QUALITY_ROW "):]), None
+    return None, f"seed subprocess rc={proc.returncode}"
+
+
 def main():
     only = os.environ.get("CONFIGS")
     seeds = [int(s) for s in os.environ.get("ICEM_QUALITY_SEEDS", "0,1,2").split(",")]
-    out_root = os.path.join(REPO, "results", "quality_runs")
     round_no = int(os.environ.get("ICEM_ROUND", "2"))
     out_path = os.path.join(REPO, "results", f"QUALITY_r{round_no:02d}.json")
     table = {}
@@ -181,33 +212,27 @@ def main():
         rows = []
         for seed in seeds:
             print(f"=== {name} seed {seed}", file=sys.stderr, flush=True)
-            try:
-                name, row = run_config(path, out_root, seed)
-                rows.append(row)
-            except Exception as e:
-                traceback.print_exc()
+            row, err = _run_seed_subprocess(name, seed, force_unfuse=False)
+            if row is None:
                 # a fused-episode program can crash the TPU runtime outright
                 # (r4: humanoid_standup blitz, UNAVAILABLE worker crash);
                 # the seed already paid for its compile, so retry it once
-                # through the host episode loop and record the degradation
-                # instead of losing the row to a bare error string
-                try:
-                    print(f"=== {name} seed {seed}: retrying unfused after "
-                          f"{type(e).__name__}", file=sys.stderr, flush=True)
-                    name, row = run_config(path, out_root, seed,
-                                           force_unfuse=True)
-                    row["fused_error"] = f"{type(e).__name__}: {e}"
-                    rows.append(row)
-                    continue
-                except Exception as e2:
-                    traceback.print_exc()
+                # through the host episode loop — in a FRESH process, the
+                # crashed one's backend is unrecoverable — and record the
+                # degradation instead of losing the row to an error string
+                print(f"=== {name} seed {seed}: retrying unfused after "
+                      f"{err}", file=sys.stderr, flush=True)
+                row, err2 = _run_seed_subprocess(name, seed,
+                                                 force_unfuse=True)
+                if row is not None:
+                    row["fused_error"] = err
+                else:
                     # append, don't replace: earlier seeds' completed results
                     # already paid full runtime and must survive a later crash
-                    rows.append({"error": f"{type(e).__name__}: {e}; "
-                                          f"unfused retry: "
-                                          f"{type(e2).__name__}: {e2}",
+                    rows.append({"error": f"{err}; unfused retry: {err2}",
                                  "seed": seed})
-                    break
+                    continue
+            rows.append(row)
         ok_rows = [r for r in rows if "error" not in r]
         err_rows = [r for r in rows if "error" in r]
         if ok_rows:
