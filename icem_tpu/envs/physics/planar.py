@@ -88,6 +88,19 @@ class PlanarModel:
     # |qd| = motor_omega_max in the torque direction (power-limits actuators;
     # inf disables). Physical analog of MuJoCo's gainprm/force limits.
     motor_omega_max: float = np.inf
+    # Energy-consistency valve (the planar twin of spatial.energy_valve):
+    # the frozen-M semi-implicit integrator can manufacture energy on hard
+    # contact/limit slams (measured: hopper up to 23 kJ in ONE control step
+    # from a limit slam, 404 J from a passive ground slam at fall speeds a
+    # nominal episode reaches — tests/test_energy_pump.py), which a
+    # velocity- or height-rewarding planner can exploit as a launcher. With
+    # the valve, end-of-step velocities are rescaled whenever
+    # E(q1, qd1) > E(q0, qd0) + W_actuator + eps. Reality-path only: the
+    # population-batched imagination paths (batched.py, ops/planar_rollout)
+    # stay valveless — an exploit plan then simply fails to realize in the
+    # valved real env instead of inflating returns.
+    energy_valve: bool = False
+    energy_valve_eps: float = 0.1
     # integration
     dt: float = 0.05                 # control timestep
     n_substeps: int = 10
@@ -344,16 +357,60 @@ def cholesky_solve_unrolled(L, b, n: int):
     return jnp.stack(x, axis=-1)
 
 
-def step(model: PlanarModel, q, qd, ctrl):
-    """One control step = n_substeps physics substeps (scan).
+def _per_dof(model: PlanarModel, arr, fill: float):
+    """Zero-length per-dof arrays (the dataclass defaults) mean 'none'."""
+    a = np.asarray(arr, np.float32)
+    if a.shape[0] == 0:
+        a = np.full(model.ndof, fill, np.float32)
+    return jnp.asarray(a)
 
-    TPU hot path: the mass matrix, its implicit-damping Cholesky factor and
-    the Coriolis/gravity bias are computed ONCE per control step and held
-    over the substeps (MuJoCo recomputes at its own coarser dt; these terms
-    are smooth at the control timescale). Per substep only the stiff terms —
-    contact and spring/limit forces — are re-evaluated, so a substep is a
-    short chain of fused elementwise ops.
+
+def stored_energy(model: PlanarModel, q, qd):
+    """Total mechanical energy the state can release: kinetic + gravity PE +
+    joint-spring PE + limit-spring PE + contact-spring PE.
+
+    The planar twin of spatial.stored_energy: every term the integrator can
+    convert back into motion is included, so the physical inequality
+    dE/dt <= P_actuator holds exactly for the continuous dynamics (joint
+    damping, Coulomb friction, fluid drag and the contact normal damper
+    only remove energy). Used by the energy-pump audit
+    (tests/test_energy_pump.py) that checks the discrete integrator cannot
+    be exploited as an energy source by a planner.
     """
+    e = kinetic_energy(model, q, qd) + potential_energy(model, q)
+
+    stiffness = _per_dof(model, model.stiffness, 0.0)
+    springref = _per_dof(model, model.springref, 0.0)
+    e += 0.5 * jnp.sum(stiffness * (q - springref) ** 2)
+
+    lo = _per_dof(model, model.limit_lo, -np.inf)
+    hi = _per_dof(model, model.limit_hi, np.inf)
+    over = jnp.maximum(q - hi, 0.0)
+    under = jnp.maximum(lo - q, 0.0)
+    e += 0.5 * model.limit_stiffness * jnp.sum(over**2 + under**2)
+
+    if len(model.geom_body) > 0:
+        radius = jnp.asarray(model.geom_radius, jnp.float32)
+        pts = fk(model, q)[2]
+        pen = jnp.maximum(radius - pts[:, 1], 0.0)
+        # piecewise PE consistent with the fmax-capped normal spring
+        # (see spatial.stored_energy for the branch rationale)
+        if np.isfinite(model.contact_fmax):
+            pen_star = model.contact_fmax / model.contact_kp
+            quad = 0.5 * model.contact_kp * jnp.minimum(pen, pen_star) ** 2
+            lin = model.contact_fmax * jnp.maximum(pen - pen_star, 0.0)
+            e += jnp.sum(quad + lin)
+        else:
+            e += jnp.sum(0.5 * model.contact_kp * pen**2)
+    return e
+
+
+def _control_step(model: PlanarModel, q, qd, ctrl, with_work: bool):
+    """Shared control-step body; ``with_work`` (static) additionally
+    integrates the exact discrete actuator work Σ τ·qd_new·dt_sub for the
+    energy audit — kept out of the hot path, which calls with False
+    (unless the model's energy valve needs the work bound anyway)."""
+    with_work = with_work or model.energy_valve
     n = model.ndof
     tau_ctrl = actuation(model, ctrl)
     dt_sub = model.dt / model.n_substeps
@@ -365,7 +422,7 @@ def step(model: PlanarModel, q, qd, ctrl):
     bias = bias_forces(model, q, qd)
 
     def body(carry, _):
-        q_, qd_ = carry
+        q_, qd_, work = carry
         if np.isfinite(model.motor_omega_max):
             speed_factor = jnp.clip(
                 1.0 - qd_ * jnp.sign(tau_ctrl) / model.motor_omega_max, 0.0, 1.0)
@@ -378,10 +435,52 @@ def step(model: PlanarModel, q, qd, ctrl):
         qd_new = cholesky_solve_unrolled(L, M @ qd_ + dt_sub * rhs, n)
         qd_new = jnp.clip(qd_new, -model.max_qd, model.max_qd)
         q_new = q_ + dt_sub * qd_new
-        return (q_new, qd_new), None
+        if with_work:
+            work = work + dt_sub * jnp.dot(tau, qd_new)
+        return (q_new, qd_new, work), None
 
-    (q_new, qd_new), _ = jax.lax.scan(body, (q, qd), None, length=model.n_substeps)
+    (q_new, qd_new, w_act), _ = jax.lax.scan(
+        body, (q, qd, jnp.float32(0.0)), None, length=model.n_substeps)
+
+    if model.energy_valve:
+        e0 = stored_energy(model, q, qd)
+        bound = e0 + jnp.maximum(w_act, 0.0) + model.energy_valve_eps
+        e1 = stored_energy(model, q_new, qd_new)
+        ke1 = kinetic_energy(model, q_new, qd_new)
+        excess = e1 - bound
+        # rescale end-of-step velocities so E1 <= bound (all the removable
+        # energy is kinetic; potential terms depend on q alone). When no
+        # excess exists scale2 clips to exactly 1.0, so nominal steps are
+        # bit-identical to the valveless integrator.
+        scale2 = jnp.clip((ke1 - excess) / jnp.maximum(ke1, 1e-9), 0.0, 1.0)
+        qd_new = qd_new * jnp.sqrt(scale2)
+    return q_new, qd_new, (w_act if with_work else None)
+
+
+def step(model: PlanarModel, q, qd, ctrl):
+    """One control step = n_substeps physics substeps (scan).
+
+    TPU hot path: the mass matrix, its implicit-damping Cholesky factor and
+    the Coriolis/gravity bias are computed ONCE per control step and held
+    over the substeps (MuJoCo recomputes at its own coarser dt; these terms
+    are smooth at the control timescale). Per substep only the stiff terms —
+    contact and spring/limit forces — are re-evaluated, so a substep is a
+    short chain of fused elementwise ops.
+    """
+    q_new, qd_new, _ = _control_step(model, q, qd, ctrl, with_work=False)
     return q_new, qd_new
+
+
+def step_with_energy_audit(model: PlanarModel, q, qd, ctrl):
+    """Control step that also returns the exact discrete actuator work.
+
+    (q2, qd2, w_act) — the audit quantity is
+    stored_energy(q2, qd2) - stored_energy(q, qd) - max(w_act, 0), which a
+    leak-free discrete integrator keeps <= a small epsilon. This is the
+    measurement backing the decision NOT to ship an energy valve on the
+    planar engine (the 3D engine ships one, spatial.py energy_valve).
+    """
+    return _control_step(model, q, qd, ctrl, with_work=True)
 
 
 # ---------------------------------------------------------------------------
