@@ -78,20 +78,33 @@ class RolloutManager:
                name: str = "", no_rollouts: int = 1, desc: str = "rollout"):
         """Collect ``no_rollouts`` episodes (rollout_utils.py:89-114)."""
         fuse = self.fuse_on_device
+        chunk = None
         if fuse == "auto":
             limit = getattr(self.env, "fused_episode_step_limit", None)
-            fuse = (limit is None
-                    or no_rollouts * self.task_horizon <= int(limit))
-            if not fuse and not getattr(self, "_warned_auto_unfuse", False):
-                self._warned_auto_unfuse = True
-                print(f"RolloutManager: fuse_on_device=auto falling back to "
-                      f"the host episode loop ({no_rollouts}x"
-                      f"{self.task_horizon} steps exceeds the env's fused-"
-                      f"program budget of {limit})")
+            fuse = True
+            if limit is not None and no_rollouts * self.task_horizon > int(limit):
+                # CHUNK the episode scan instead of unfusing entirely: one
+                # compiled C-step program called ceil(h/C) times with the
+                # episode carry returned to the host between calls. This
+                # bounds the traced program at <= limit total steps (the
+                # r4 worker-crash trigger was the 5x1000-step fused standup
+                # program) AND keeps device round-trips to a handful per
+                # episode batch — the host-loop fallback this replaces made
+                # task_horizon x episodes jitted plan-step calls (15,000 for
+                # standup blitz), which the TPU tunnel did not survive either.
+                n_chunks = -(-no_rollouts * self.task_horizon // int(limit))
+                chunk = -(-self.task_horizon // n_chunks)
+                if not getattr(self, "_warned_auto_chunk", False):
+                    self._warned_auto_chunk = True
+                    print(f"RolloutManager: fuse_on_device=auto chunking the "
+                          f"fused episode scan into {n_chunks}x{chunk}-step "
+                          f"programs ({no_rollouts}x{self.task_horizon} steps "
+                          f"exceeds the env's fused-program budget of {limit})")
         can_fuse = (fuse and not render and not self.record
                     and hasattr(policy, "functional_plan"))
         if can_fuse:
-            return self.sample_on_device(policy, mode=mode, no_rollouts=no_rollouts)
+            return self.sample_on_device(policy, mode=mode,
+                                         no_rollouts=no_rollouts, chunk=chunk)
         return [self._sample(policy, render=render, mode=mode, name=name or mode)
                 for _ in range(no_rollouts)]
 
@@ -177,14 +190,30 @@ class RolloutManager:
         return Rollout(data=data)
 
     # ------------------------------------------------------------------ #
-    def sample_on_device(self, policy, mode: str = "train", no_rollouts: int = 1):
+    def sample_on_device(self, policy, mode: str = "train", no_rollouts: int = 1,
+                         chunk: Optional[int] = None):
         """Fused episodes: planner + env in one scan, episodes vmapped.
 
         The TPU replacement for par_sample's process pool — E independent
         episodes are one SPMD program over a batch axis.
+
+        ``chunk`` (control steps, default whole horizon): split the episode
+        scan into ceil(h/chunk) executions of ONE compiled chunk program,
+        with the (env_state, obs, plan_state, done) carry round-tripping
+        through the host between calls. Chunking bounds the traced program
+        size for the big spatial envs (whose whole-episode programs can crash
+        the TPU runtime) at a handful of device calls per batch — unlike the
+        host episode loop, which makes task_horizon jitted calls per episode.
+        The trailing chunk is NOT specialized: the same program runs past the
+        horizon (frozen-after-done semantics make the extra steps harmless)
+        and outputs are truncated to the horizon afterwards.
         """
         env = self.env
         keys = jax.random.split(self._episode_key(mode), no_rollouts)
+        horizon = self.task_horizon
+        if chunk is None or chunk >= horizon:
+            chunk = horizon
+        n_chunks = -(-horizon // chunk)
 
         # learned-model weights are a runtime input of the fused program (see
         # functional_plan) — always the LIVE params, so a cache hit after
@@ -194,75 +223,92 @@ class RolloutManager:
         # without it a garbage-collected controller's address can be reused by
         # a new controller of the same type and the cache would silently
         # replay the old jitted episode with the old config baked in
-        cache_key = (id(policy), mode, no_rollouts)
+        cache_key = (id(policy), mode, no_rollouts, chunk)
         cached = self._fused_cache.get(cache_key)
         if cached is not None and cached[1] is policy:
-            episodes = cached[0](keys, model_params)
-            return self._episodes_to_rollouts(episodes, no_rollouts)
+            init_fn, chunk_fn = cached[0]
+        else:
+            init_fn, chunk_fn = self._build_fused(policy, mode, chunk)
+            self._fused_cache[cache_key] = ((init_fn, chunk_fn), policy)
 
+        carry = init_fn(keys, model_params)
+        outs = []
+        for _ in range(n_chunks):
+            carry, out = chunk_fn(carry, model_params)
+            outs.append(out)
+        if n_chunks == 1:
+            episodes = outs[0]
+        else:
+            # concatenate chunk outputs along time ([E, C, ...] each) and
+            # truncate the past-horizon tail of the last chunk
+            episodes = jax.tree_util.tree_map(
+                lambda *xs: np.concatenate([np.asarray(x) for x in xs],
+                                           axis=1)[:, :horizon], *outs)
+        return self._episodes_to_rollouts(episodes, no_rollouts)
+
+    def _build_fused(self, policy, mode: str, chunk: int):
+        """Compile the fused-episode pair: init (reset + plan state) and one
+        C-step planner+env scan, both vmapped over the episode batch."""
+        env = self.env
         plan = policy.functional_plan()
-        horizon = self.task_horizon
-        only_final = self.only_final_reward
         has_success = env.is_success(
             jnp.zeros(env.obs_dim), jnp.zeros(env.action_dim), jnp.zeros(env.obs_dim)
         ) is not None
+        self._has_success_cache = has_success
+        use_env_states = self.use_env_states
 
-        def one_episode(key, model_params):
+        def one_init(key, model_params):
             k_env, k_plan = jax.random.split(key)
             state, obs = env.reset_with_mode(k_env, mode)
             pstate = policy.init_plan_state(env.obs_dim, k_plan)
+            return (state, obs, pstate, jnp.float32(0.0))
 
-            use_env_states = self.use_env_states
+        def body(carry, _, model_params):
+            env_state, ob, ps, done_before = carry
+            # honor the configured observability: without use_env_states
+            # the planner must reconstruct state from the observation,
+            # exactly as on the host path (ground_truth.py:50-55)
+            action, ps2 = plan(ps, ob,
+                               env_state if use_env_states else None,
+                               model_params)
+            env_state2, ob2, rew, done = env.step(env_state, action)
+            # physics blow-up containment, matching the host path's
+            # truncation (rollout.py:121-127; the MujocoException-skip
+            # analog, reference rollout_utils.py:189-194): a non-finite
+            # next observation or state leaf is terminal AND its own
+            # transition is invalid — the host breaks BEFORE appending,
+            # so keep=0 for the blown step itself, not just after it.
+            blown = ~jnp.all(jnp.isfinite(ob2))
+            blown = blown | ~jax.tree_util.tree_reduce(
+                lambda acc, leaf: acc & jnp.all(jnp.isfinite(leaf)),
+                env_state2, jnp.bool_(True))
+            blown_f = blown.astype(jnp.float32)
+            # freeze after termination or blow-up (mask instead of
+            # break); freezing to the last FINITE state keeps every
+            # subsequent planner/env step NaN-free
+            dead = (done_before > 0) | blown
+            keep = (1.0 - done_before) * (1.0 - blown_f)
+            env_state2 = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(dead, old, new),
+                env_state2, env_state)
+            ob2 = jnp.where(dead, ob, ob2)
+            rew = jnp.where(keep > 0, rew, 0.0)
+            succ = env.is_success(ob, action, ob2) if has_success else jnp.float32(0)
+            done_after = jnp.maximum(done_before, jnp.maximum(done, blown_f))
+            out = (ob, ob2, action, rew, done_after, keep, succ)
+            return (env_state2, ob2, ps2, done_after), out
 
-            def body(carry, _):
-                env_state, ob, ps, done_before = carry
-                # honor the configured observability: without use_env_states
-                # the planner must reconstruct state from the observation,
-                # exactly as on the host path (ground_truth.py:50-55)
-                action, ps2 = plan(ps, ob,
-                                   env_state if use_env_states else None,
-                                   model_params)
-                env_state2, ob2, rew, done = env.step(env_state, action)
-                # physics blow-up containment, matching the host path's
-                # truncation (rollout.py:121-127; the MujocoException-skip
-                # analog, reference rollout_utils.py:189-194): a non-finite
-                # next observation or state leaf is terminal AND its own
-                # transition is invalid — the host breaks BEFORE appending,
-                # so keep=0 for the blown step itself, not just after it.
-                blown = ~jnp.all(jnp.isfinite(ob2))
-                blown = blown | ~jax.tree_util.tree_reduce(
-                    lambda acc, leaf: acc & jnp.all(jnp.isfinite(leaf)),
-                    env_state2, jnp.bool_(True))
-                blown_f = blown.astype(jnp.float32)
-                # freeze after termination or blow-up (mask instead of
-                # break); freezing to the last FINITE state keeps every
-                # subsequent planner/env step NaN-free
-                dead = (done_before > 0) | blown
-                keep = (1.0 - done_before) * (1.0 - blown_f)
-                env_state2 = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(dead, old, new),
-                    env_state2, env_state)
-                ob2 = jnp.where(dead, ob, ob2)
-                rew = jnp.where(keep > 0, rew, 0.0)
-                succ = env.is_success(ob, action, ob2) if has_success else jnp.float32(0)
-                done_after = jnp.maximum(done_before, jnp.maximum(done, blown_f))
-                out = (ob, ob2, action, rew, done_after, keep, succ)
-                return (env_state2, ob2, ps2, done_after), out
+        def one_chunk(carry, model_params):
+            carry, outs = jax.lax.scan(partial(body, model_params=model_params),
+                                       carry, None, length=chunk)
+            return carry, outs
 
-            carry0 = (state, obs, pstate, jnp.float32(0.0))
-            _, (obs_seq, nxt_seq, act_seq, rew_seq, done_seq, valid_seq, succ_seq) = \
-                jax.lax.scan(body, carry0, None, length=horizon)
-            if only_final:
-                last = jnp.sum(valid_seq).astype(jnp.int32) - 1
-                final_only = jnp.zeros_like(rew_seq).at[last].set(rew_seq[last])
-                rew_seq = final_only
-            return obs_seq, nxt_seq, act_seq, rew_seq, done_seq, valid_seq, succ_seq
-
-        run = jax.jit(jax.vmap(one_episode, in_axes=(0, None)))
-        self._fused_cache[cache_key] = (run, policy)
-        self._has_success_cache = has_success
-        episodes = run(keys, model_params)
-        return self._episodes_to_rollouts(episodes, no_rollouts)
+        init_fn = jax.jit(jax.vmap(one_init, in_axes=(0, None)))
+        # per-episode outputs are time-major [C, ...]; the episode vmap axis
+        # lands at 0, so chunk outputs are [E, C, ...] and chunks concatenate
+        # along axis 1
+        chunk_fn = jax.jit(jax.vmap(one_chunk, in_axes=(0, None)))
+        return init_fn, chunk_fn
 
     def _episodes_to_rollouts(self, episodes, no_rollouts: int):
         obs_seq, nxt_seq, act_seq, rew_seq, done_seq, valid_seq, succ_seq = \
@@ -270,8 +316,12 @@ class RolloutManager:
         rollouts = []
         for i in range(no_rollouts):
             t = int(valid_seq[i].sum())
+            rew_i = rew_seq[i, :t]
+            if self.only_final_reward and t > 0:
+                rew_i = np.concatenate([np.zeros(t - 1, rew_i.dtype),
+                                        rew_i[-1:]])
             data = dict(observations=obs_seq[i, :t], next_observations=nxt_seq[i, :t],
-                        actions=act_seq[i, :t], rewards=rew_seq[i, :t],
+                        actions=act_seq[i, :t], rewards=rew_i,
                         dones=done_seq[i, :t])
             if getattr(self, "_has_success_cache", False):
                 data["successes"] = succ_seq[i, :t]

@@ -119,6 +119,14 @@ def run_config(path: str, out_root: str, seed: int, force_unfuse: bool = False):
     }
     if truncated is not None:
         row["truncated_to_iters"] = truncated
+    if not is_gt:
+        # learned-model configs: the whole learning curve, not just its
+        # endpoints — the reference reports per-iteration mean return
+        # (misc/helpers.py:212-230) and the curve SHAPE is the diagnostic
+        # (e.g. r5: ensemble cheetah best 143 at iter ~6 then -115 at 11
+        # reads completely differently from a flat -115)
+        row["return_curve"] = [round(float(r), 1)
+                               for r in info["train_mean_return"]]
     if os.environ.get("ICEM_QUALITY_TH"):
         row["truncated_task_horizon"] = int(os.environ["ICEM_QUALITY_TH"])
     if force_unfuse or os.environ.get("ICEM_QUALITY_NO_FUSE"):
@@ -155,6 +163,9 @@ def aggregate(rows):
         agg["solved_seeds"] = sum(bool(r.get("solved")) for r in rows)
         agg["solved_at_iteration"] = [r.get("solved_at_iteration") for r in rows]
     agg["per_seed_final_return"] = [r.get("final_mean_return") for r in rows]
+    curves = [r.get("return_curve") for r in rows if r.get("return_curve")]
+    if curves:
+        agg["per_seed_return_curve"] = curves
     return agg
 
 

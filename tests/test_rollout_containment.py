@@ -111,6 +111,53 @@ def test_fused_return_is_finite_even_with_nan_reward():
     assert total == 3.0  # one unit reward per surviving step
 
 
+def test_chunked_fused_episodes_match_unchunked_bitwise():
+    """Chunking the fused episode scan (the bounded-program-size path for
+    the big spatial envs) is pure program slicing: same keys, same per-step
+    math, so every recorded array must be BIT-identical to the whole-horizon
+    program — including when the blow-up truncation lands mid-chunk and the
+    last chunk overruns the horizon (11 steps in 3x4-step chunks)."""
+    for blow_at in (4, 99):  # truncating and non-truncating episodes
+        Seeding.set_seed(0)
+        env = ExplodingEnv(blow_at=blow_at)
+        whole = RolloutManager(env, {"task_horizon": 11, "fuse_on_device": True})
+        Seeding.set_seed(0)
+        chunked = RolloutManager(env, {"task_horizon": 11, "fuse_on_device": True})
+        r_whole = whole.sample(_ZeroPolicy(), no_rollouts=3)
+        r_chunk = chunked.sample_on_device(_ZeroPolicy(), no_rollouts=3, chunk=4)
+        for rw, rc in zip(r_whole, r_chunk):
+            assert len(rw) == len(rc)
+            for key in ("observations", "next_observations", "actions",
+                        "rewards", "dones"):
+                np.testing.assert_array_equal(np.asarray(rw[key]),
+                                              np.asarray(rc[key]), err_msg=key)
+
+
+def test_auto_chunk_triggers_above_fused_step_limit():
+    """fuse_on_device='auto' must CHUNK (not unfuse) when the workload
+    exceeds the env's fused-program budget, and produce the same rollouts."""
+
+    class BudgetedEnv(ExplodingEnv):
+        fused_episode_step_limit = 10  # 2 episodes x 9 steps = 18 > 10
+
+    Seeding.set_seed(0)
+    env = BudgetedEnv(blow_at=99)
+    rm = RolloutManager(env, {"task_horizon": 9, "fuse_on_device": "auto"})
+    rollouts = rm.sample(_ZeroPolicy(), no_rollouts=2)
+    # the auto path resolved to chunked fusion: the fused cache holds a
+    # chunk-keyed entry (cache key ends with the chunk size), not a host loop
+    assert rm._fused_cache, "auto path did not fuse"
+    (key, _), = rm._fused_cache.items()
+    assert key[-1] == 5  # ceil(9 / ceil(18/10)) = 5-step chunks
+    Seeding.set_seed(0)
+    ref = RolloutManager(env, {"task_horizon": 9, "fuse_on_device": True})
+    r_ref = ref.sample(_ZeroPolicy(), no_rollouts=2)
+    for rw, rc in zip(r_ref, rollouts):
+        np.testing.assert_array_equal(np.asarray(rw["observations"]),
+                                      np.asarray(rc["observations"]))
+        assert len(rw) == len(rc) == 9
+
+
 def test_fused_batch_mixes_blown_and_clean_episodes():
     """A blown episode inside a vmapped batch must not poison its peers."""
     Seeding.set_seed(0)
