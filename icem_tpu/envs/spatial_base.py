@@ -43,12 +43,16 @@ class SpatialEnv(Env):
     batched_min_pop = 8
 
     # Fused-episode budget consumed by RolloutManager's fuse_on_device=auto:
-    # the spatial per-step program is large enough that fusing many long
-    # episodes into one device program can crash the TPU runtime (r4:
-    # humanoid_standup 5×1000 fused steps — UNAVAILABLE worker crash), while
-    # 3×300-step humanoid/ant fused programs run fine. Workloads above this
-    # many total episode steps per sample() call fall back to the host loop.
-    fused_episode_step_limit = 2000
+    # workloads above this many total episode steps per sample() call run
+    # CHUNKED (runtime/rollout.py). The binding constraint is per-EXECUTION
+    # wall time through the axon tunnel, not program size: r5 measured
+    # 5x200-step standup calls (~48 s each) surviving repeatedly while
+    # 5x334-step chunks (~80 s) and the r4 5x1000-step whole program
+    # (~240 s) both died with "UNAVAILABLE: TPU worker crashed" — a
+    # worker/tunnel execution deadline somewhere past ~1 minute. 1000 total
+    # steps per call is the empirically proven shape for the 23-dof
+    # humanoid; faster spatial envs just get slightly more host round-trips.
+    fused_episode_step_limit = 1000
 
     def _post_step(self, state, new_state, action):
         """(obs, reward, done) from the transition; action arrives clipped."""
@@ -104,6 +108,26 @@ class SpatialEnv(Env):
         nd = self.model.ndof
         acts = jnp.clip(actions, -1.0, 1.0)
 
+        from icem_tpu.ops.spatial_rollout import (BLOCK, PALLAS_MIN_POP,
+                                                  pallas_available,
+                                                  rollout_spatial_pallas)
+        if pallas_available() and P >= PALLAS_MIN_POP:
+            # VMEM-resident Pallas rollout (ops/spatial_rollout.py): pad the
+            # population up to a block multiple. PALLAS_MIN_POP < BLOCK, so
+            # the pad can EXCEED P — wrap indices instead of slicing a tail
+            # (a `states[-pad:]` tail maxes out at P rows and under-pads;
+            # r5 on-device failure: pop 504 padded to 1008, not 1024)
+            pad = (-P) % BLOCK
+            if pad:
+                idx = jnp.arange(P + pad) % P
+                st, ap = states[idx], acts[idx]
+            else:
+                st, ap = states, acts
+            qs, qds = rollout_spatial_pallas(
+                self.model, st[:, :nd], st[:, nd: 2 * nd], ap)
+            qs, qds = qs[:, :P], qds[:, :P]
+            return self._assemble_rollout(states, acts, qs, qds, P, h)
+
         pad = (-P) % 8
         st = jnp.concatenate([states, states[-pad:]], axis=0) if pad else states
         ap = jnp.concatenate([acts, acts[-pad:]], axis=0) if pad else acts
@@ -125,7 +149,12 @@ class SpatialEnv(Env):
         _, (qs, qds) = jax.lax.scan(body, (q, qd), a_rows_tm)
         qs = jnp.transpose(qs.reshape(h, nd, Pp), (0, 2, 1))[:, :P]
         qds = jnp.transpose(qds.reshape(h, nd, Pp), (0, 2, 1))[:, :P]
+        return self._assemble_rollout(states, acts, qs, qds, P, h)
 
+    def _assemble_rollout(self, states, acts, qs, qds, P, h):
+        """obs/reward assembly shared by the Pallas and XLA rollout paths:
+        qs, qds [h, P, nd] -> the rollout_open_loop output contract."""
+        nd = self.model.ndof
         extra = states[:, 2 * nd:]
         extra_seq = jnp.broadcast_to(extra, (h,) + extra.shape)
         next_states = jnp.concatenate([qs, qds, extra_seq], axis=2)

@@ -263,3 +263,40 @@ def test_humanoid_standup_env_batched_agrees():
     ns_v, obs_v, rew_v, _ = jax.jit(jax.vmap(env.step))(states, acts)
     np.testing.assert_allclose(np.asarray(ns_b), np.asarray(ns_v), atol=5e-2)
     np.testing.assert_allclose(np.asarray(rew_b), np.asarray(rew_v), atol=5e-2)
+
+
+@pytest.mark.slow
+def test_spatial_pallas_kernel_interpret_mode_matches_rows():
+    """ops/spatial_rollout.py correctness WITHOUT a TPU: the Pallas
+    interpreter executes the same kernel body (including the multi-chunk
+    scratch carry across the sequential horizon-chunk grid axis) on CPU.
+    The on-device twin lives in tests/test_pallas_rollout.py."""
+    from icem_tpu.envs.ant3d import Ant3D
+    from icem_tpu.ops import spatial_rollout as sr
+
+    env = Ant3D()
+    model = env.model
+    nd, na = model.ndof, len(model.actuator_dof)
+    H = 5
+    # force 2-step horizon chunks so the scratch carry path is exercised
+    budget0 = sr._VMEM_STREAM_BUDGET
+    sr._VMEM_STREAM_BUDGET = sr._TILE_BYTES * (na + 2 * nd) * 2 * 2
+    try:
+        assert sr.pick_h_chunk(H, nd, na) < H
+        P = sr.BLOCK
+        base = env.init_state(jax.random.PRNGKey(0))[:nd]
+        Q = base[None] + jax.random.normal(jax.random.PRNGKey(1), (P, nd)) * 0.01
+        QD = jax.random.normal(jax.random.PRNGKey(2), (P, nd)) * 0.05
+        A = jax.random.uniform(jax.random.PRNGKey(3), (P, H, na),
+                               minval=-1.0, maxval=1.0)
+        qs, qds = sr.rollout_spatial_pallas(model, Q, QD, A, interpret=True)
+
+        def body(c, a):
+            q, qd = c
+            q2, qd2 = spatial_batched.step_batched(model, q, qd, a)
+            return (q2, qd2), (q2, qd2)
+        _, (qs_r, qds_r) = jax.lax.scan(body, (Q, QD), jnp.swapaxes(A, 0, 1))
+        np.testing.assert_allclose(np.asarray(qs), np.asarray(qs_r), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(qds), np.asarray(qds_r), atol=1e-3)
+    finally:
+        sr._VMEM_STREAM_BUDGET = budget0
