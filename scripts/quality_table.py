@@ -201,6 +201,24 @@ def _run_seed_subprocess(name: str, seed: int, force_unfuse: bool):
     return None, f"seed subprocess rc={proc.returncode}"
 
 
+def _save_config_rows(table, name, rows, seeds, out_path):
+    """Write the config's row from the seeds done SO FAR — after every seed,
+    not after the seed loop, so a cut-off campaign (round end, tunnel death,
+    timeout) keeps every completed seed's result (r4 lost a full standup
+    seed set this way)."""
+    ok_rows = [r for r in rows if "error" not in r]
+    err_rows = [r for r in rows if "error" in r]
+    if ok_rows:
+        table[name] = aggregate(ok_rows)
+        if err_rows:
+            table[name]["errors"] = err_rows
+    else:
+        table[name] = err_rows[0]
+    with open(out_path, "w") as f:
+        json.dump({"metric": "per_config_control_quality",
+                   "seeds": seeds, "configs": table}, f, indent=1)
+
+
 def main():
     only = os.environ.get("CONFIGS")
     seeds = [int(s) for s in os.environ.get("ICEM_QUALITY_SEEDS", "0,1,2").split(",")]
@@ -242,21 +260,11 @@ def main():
                     # already paid full runtime and must survive a later crash
                     rows.append({"error": f"{err}; unfused retry: {err2}",
                                  "seed": seed})
+                    _save_config_rows(table, name, rows, seeds, out_path)
                     continue
             rows.append(row)
-        ok_rows = [r for r in rows if "error" not in r]
-        err_rows = [r for r in rows if "error" in r]
-        if ok_rows:
-            table[name] = aggregate(ok_rows)
-            if err_rows:
-                table[name]["errors"] = err_rows
-        else:
-            table[name] = err_rows[0]
+            _save_config_rows(table, name, rows, seeds, out_path)
         print(json.dumps({name: table[name]}), file=sys.stderr, flush=True)
-        # incremental save so a partial run still leaves an artifact
-        with open(out_path, "w") as f:
-            json.dump({"metric": "per_config_control_quality",
-                       "seeds": seeds, "configs": table}, f, indent=1)
     print(json.dumps({"metric": "per_config_control_quality", "configs": table}))
 
 
