@@ -65,6 +65,35 @@ class RndController:
     def end_of_rollout(self, total_time, total_return, mode):
         pass
 
+    # -- functional interface for fused on-device episodes ------------------
+    # Random bootstrap rollouts are the one policy the learned-model loops
+    # run FIRST — without this, sample() fell back to the host episode loop
+    # (task_horizon device round-trips per episode; the r4/r5 TPU-tunnel
+    # crash class). Plan state carries (key, steps-since-redraw, held
+    # action) so action_change_frequency > 1 keeps its hold semantics.
+    def init_plan_state(self, obs_dim: int, key):
+        # counter starts saturated so step 0 draws a fresh action
+        return (key, jnp.int32(self.action_change_frequency),
+                jnp.zeros(self.env.action_space.dim, jnp.float32))
+
+    def functional_plan(self):
+        env = self.env
+        freq = self.action_change_frequency
+
+        def plan(ps, obs, env_state, model_params=None):
+            key, count, current = ps
+            key, k = jax.random.split(key)
+            redraw = count >= freq
+            action = jnp.where(redraw, env.action_space.sample(k), current)
+            count = jnp.where(redraw, jnp.int32(1), count + 1)
+            return action, (key, count, action)
+
+        return plan
+
+    @property
+    def live_model_params(self):
+        return None  # model-free
+
     def train(self, buffer):
         return {}
 

@@ -176,3 +176,30 @@ def test_fused_batch_mixes_blown_and_clean_episodes():
     assert 6 in lengths and 1 in lengths  # both kinds occurred
     for r in rollouts:
         assert np.all(np.isfinite(np.asarray(r["rewards"])))
+
+
+def test_rnd_controller_fuses_with_hold_frequency():
+    """RndController bootstrap rollouts ride the fused path (no per-step
+    device round-trips) with action_change_frequency hold semantics."""
+    from icem_tpu.controllers.random import RndController
+
+    Seeding.set_seed(0)
+    env = ExplodingEnv(blow_at=10**9)  # benign integrator
+    rm = RolloutManager(env, {"task_horizon": 12, "fuse_on_device": True})
+    ctrl = RndController(env=env, action_change_frequency=3)
+    rollouts = rm.sample(ctrl, no_rollouts=4)
+
+    assert ctrl._current is None, "host get_action path was used"
+    assert rm._fused_cache, "fused path was not taken"
+    acts = np.stack([np.asarray(r["actions"]) for r in rollouts])  # [4,12,1]
+    assert acts.shape == (4, 12, 1)
+    assert np.all(acts >= -1.0) and np.all(acts <= 1.0)
+    # held for exactly 3 steps, then redrawn
+    for blk in range(4):
+        seg = acts[:, 3 * blk:3 * blk + 3]
+        assert np.all(seg == seg[:, :1]), "action not held across the block"
+    boundaries = acts[:, ::3, 0]  # one value per hold block
+    assert np.all(np.abs(np.diff(boundaries, axis=1)) > 1e-9), \
+        "action never redrawn at block boundary"
+    # episodes are mutually independent draws
+    assert np.all(np.abs(boundaries[0] - boundaries[1]) > 1e-9)
